@@ -1,0 +1,204 @@
+"""Transformer forward pass: scan over stacked layers, jit-friendly.
+
+TPU-first redesign of the reference's AbstractModel/TransformerBlock
+(/root/reference/jlama-core/.../model/AbstractModel.java:267-491,
+TransformerBlock.java:158-205): layers are STACKED along a leading axis and
+driven by `lax.scan` (one trace, one compile, layer dim shardable for
+pipeline parallelism), the KV cache is a dense on-device buffer pytree
+threaded through the scan, and sampling happens on device.
+
+Param tree layout (all leaves jnp arrays or QArray):
+  params = {
+    "embed": [V, D],                     # token embeddings
+    "wpe": [P, D],                       # learned positions (gpt2/bert)
+    "token_type_embed": [2, D],          # bert
+    "embed_norm.weight/.bias": [D],      # bert embedding LayerNorm
+    "layers": { key: [L, ...] stacked }, # per-layer weights
+    "final_norm.weight" (+ .bias): [D],
+    "lm_head": [V, D],                   # absent when tied
+    ...heads (pooler/classifier) per arch
+  }
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..nn import layers as L
+from ..nn.rope import rope_cos_sin, rope_frequencies
+from ..ops.linear import linear
+
+
+class KVCache(NamedTuple):
+    """Dense stacked KV cache: k,v [n_layers, B, n_kv_heads, S, head_size]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @staticmethod
+    def init(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.head_size)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def _embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, positions: jnp.ndarray,
+           token_types: jnp.ndarray | None, dtype) -> jnp.ndarray:
+    emb = params["embed"]
+    if hasattr(emb, "dequantize"):
+        emb = emb.dequantize(dtype)
+    x = emb[tokens].astype(jnp.float32)
+    if cfg.embedding_scale is not None:
+        x = x * cfg.embedding_scale
+    if cfg.learned_pos_embeddings:
+        x = x + params["wpe"][positions].astype(jnp.float32)
+    if cfg.type_vocab_size and "token_type_embed" in params:
+        tt = token_types if token_types is not None else jnp.zeros_like(tokens)
+        x = x + params["token_type_embed"][tt].astype(jnp.float32)
+    x = x.astype(dtype)
+    if "embed_norm.weight" in params:  # bert
+        x = L.layer_norm(
+            x, params["embed_norm.weight"], params["embed_norm.bias"], cfg.norm_eps
+        )
+    return x
+
+
+def _block(x, layer_params: dict, cfg: ModelConfig, positions, cache, cos, sin,
+           sliding_window):
+    """One transformer block (pre-norm or post-norm per cfg)."""
+    rm = cfg.residual_multiplier if cfg.residual_multiplier is not None else 1.0
+
+    if cfg.model_type == "bert":
+        # post-norm encoder block
+        attn_out, cache = L.self_attention_block(
+            x, layer_params, cfg, positions, cache, cos, sin, sliding_window
+        )
+        x = L.norm(x + attn_out, layer_params, cfg, "attn_norm")
+        ff = L.mlp_block(x, layer_params, cfg)
+        x = L.norm(x + ff, layer_params, cfg, "ff_norm")
+        return x, cache
+
+    h = L.norm(x, layer_params, cfg, "attn_norm")
+    attn_out, cache = L.self_attention_block(
+        h, layer_params, cfg, positions, cache, cos, sin, sliding_window
+    )
+    if cfg.post_attn_norm:
+        attn_out = L.norm(attn_out, layer_params, cfg, "post_attn_norm")
+    x = x + rm * attn_out
+
+    h = L.norm(x, layer_params, cfg, "ff_norm")
+    if cfg.n_experts:
+        ff = L.moe_block(h, layer_params, cfg)
+    else:
+        ff = L.mlp_block(h, layer_params, cfg)
+    if cfg.post_ff_norm:
+        ff = L.norm(ff, layer_params, cfg, "post_ff_norm")
+    x = x + rm * ff
+    return x, cache
+
+
+def forward_hidden(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [B, T]
+    positions: jnp.ndarray,  # [B, T] absolute positions
+    kv_cache: KVCache | None,
+    token_types: jnp.ndarray | None = None,
+    dtype=jnp.bfloat16,
+    layer_range: tuple[int, int] | None = None,
+) -> tuple[jnp.ndarray, KVCache | None]:
+    """Run embedding + all transformer layers. Returns (hidden [B,T,D], cache).
+
+    layer_range mirrors the reference's DistributedContext.layerStart/End
+    (pipeline sharding); None = all layers.
+    """
+    x = _embed(params, cfg, tokens, positions, token_types, dtype)
+
+    if cfg.rope_theta:
+        inv_freq = jnp.asarray(rope_frequencies(cfg))
+        cos, sin = rope_cos_sin(positions, inv_freq)
+    else:
+        cos = sin = None
+
+    # per-layer static flags (gemma2 alternates sliding/global attention)
+    sliding = np.zeros(cfg.n_layers, dtype=np.int32)
+    if cfg.sliding_window is not None and cfg.model_type == "gemma2":
+        sliding[::2] = cfg.sliding_window  # even layers slide (HF convention)
+    elif cfg.sliding_window is not None and cfg.model_type == "mistral":
+        sliding[:] = 0  # reference ignores mistral sliding window
+
+    stacked = params["layers"]
+
+    def scan_body(x, per_layer):
+        layer_params, kc, vc, slide = per_layer
+        cache = L.KVLayerCache(kc, vc) if kv_cache is not None else None
+        # sliding window must be static for mask shapes; it is an int array
+        # but used only in comparisons so tracing is fine
+        sw = jnp.where(slide > 0, slide, jnp.iinfo(jnp.int32).max)
+        x, cache = _block(x, layer_params, cfg, positions, cache, cos, sin, sw)
+        if cache is not None:
+            return x, (cache.k, cache.v)
+        return x, (jnp.zeros((), dtype), jnp.zeros((), dtype))
+
+    if layer_range is not None:
+        lo, hi = layer_range
+        stacked = jax.tree.map(lambda a: a[lo:hi], stacked)
+        kc = kv_cache.k[lo:hi] if kv_cache is not None else jnp.zeros((hi - lo,))
+        vc = kv_cache.v[lo:hi] if kv_cache is not None else jnp.zeros((hi - lo,))
+        slide = jnp.asarray(sliding[lo:hi])
+    else:
+        kc = kv_cache.k if kv_cache is not None else jnp.zeros((cfg.n_layers,))
+        vc = kv_cache.v if kv_cache is not None else jnp.zeros((cfg.n_layers,))
+        slide = jnp.asarray(sliding)
+
+    x, (new_k, new_v) = jax.lax.scan(scan_body, x, (stacked, kc, vc, slide))
+
+    new_cache = None
+    if kv_cache is not None:
+        if layer_range is not None:
+            lo, hi = layer_range
+            new_cache = KVCache(
+                jax.lax.dynamic_update_slice_in_dim(kv_cache.k, new_k, lo, 0),
+                jax.lax.dynamic_update_slice_in_dim(kv_cache.v, new_v, lo, 0),
+            )
+        else:
+            new_cache = KVCache(new_k, new_v)
+    return x, new_cache
+
+
+def final_hidden(params: dict, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Apply the output norm (cf. SampleOutput.getOutputLayerNorm)."""
+    return L.norm(hidden, params, cfg, "final_norm")
+
+
+def lm_logits(params: dict, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Project to vocab logits with softcap/multiplier semantics.
+
+    cf. AbstractModel.sample (AbstractModel.java:443-491): logit multiplier
+    (granite divides by logits_scaling) then final softcapping (gemma2).
+    """
+    h = final_hidden(params, cfg, hidden)
+    w = params.get("lm_head", params["embed"])
+    logits = linear(h, w, out_dtype=jnp.float32)
+    if cfg.logit_multiplier is not None:
+        logits = logits / cfg.logit_multiplier
+    if cfg.final_logit_softcap is not None:
+        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    return logits
+
+
+def forward_logits(
+    params, cfg, tokens, positions, kv_cache=None, token_types=None, dtype=jnp.bfloat16
+):
+    hidden, cache = forward_hidden(
+        params, cfg, tokens, positions, kv_cache, token_types, dtype
+    )
+    return lm_logits(params, cfg, hidden), cache

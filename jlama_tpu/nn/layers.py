@@ -1,0 +1,254 @@
+"""Functional transformer layers (pure functions over param pytrees).
+
+TPU-first re-design of the reference's model layer
+(/root/reference/jlama-core/.../model/{TransformerBlock,CausalSelfAttention,
+MLPBlock,MoEBlock,LayerNorm,RMSNorm}.java): instead of mutable buffers and
+per-head thread loops, every layer is a pure function suitable for jit/scan,
+with f32 accumulation where the reference accumulates f32.
+
+Conventions:
+- activations: [B, T, D] (B=batch/sequences, T=tokens)
+- attention KV cache per layer: k,v [B, n_kv, S, head_size]
+- weights: [out, in] (HF Linear layout) — see ops.linear
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.linear import linear
+from .rope import apply_rope
+
+
+# ---------------------------------------------------------------------------
+# Norms (cf. RMSNorm.java:34, LayerNorm.java:41)
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float, weight_offset: float = 0.0) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    if weight_offset:
+        w = w + weight_offset  # gemma's (1+w)
+    return (normed * w).astype(x.dtype)
+
+
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def norm(x, params: dict, cfg: ModelConfig, prefix: str) -> jnp.ndarray:
+    w = params[f"{prefix}.weight"]
+    if cfg.norm_type == "rmsnorm":
+        return rms_norm(x, w, cfg.norm_eps, cfg.rmsnorm_weight_offset)
+    return layer_norm(x, w, params[f"{prefix}.bias"], cfg.norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# Activations (cf. ActivationFunction.java:30-36)
+# ---------------------------------------------------------------------------
+
+
+def activation(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind in ("silu", "swish"):
+        return jax.nn.silu(x)
+    if kind in ("gelu", "gelu_new", "gelu_fast", "gelu_pytorch_tanh"):
+        # the reference uses the tanh approximation for all GELU variants
+        return jax.nn.gelu(x, approximate=kind != "gelu")
+    if kind == "tanh":
+        return jnp.tanh(x)
+    raise ValueError(f"unknown activation {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# Attention (cf. CausalSelfAttention.java:145-381)
+# ---------------------------------------------------------------------------
+
+
+class KVLayerCache(NamedTuple):
+    k: jnp.ndarray  # [B, n_kv, S, hd]
+    v: jnp.ndarray  # [B, n_kv, S, hd]
+
+
+def attention_scores_mask(
+    q_positions: jnp.ndarray,  # [B, T] absolute positions of the query tokens
+    kv_len: int,
+    causal: bool,
+    sliding_window: int | None,
+) -> jnp.ndarray:
+    """Boolean mask [B, T, S]: True = attendable."""
+    kv_pos = jnp.arange(kv_len)[None, None, :]
+    qp = q_positions[:, :, None]
+    if causal:
+        mask = kv_pos <= qp
+    else:
+        mask = jnp.ones(qp.shape[:2] + (kv_len,), dtype=bool)
+    if sliding_window is not None:
+        mask = mask & (kv_pos > qp - sliding_window)
+    return mask
+
+
+def multi_head_attention(
+    q: jnp.ndarray,  # [B, T, n_heads, hd]
+    k: jnp.ndarray,  # [B, S, n_kv, hd] or cache layout [B, n_kv, S, hd]
+    v: jnp.ndarray,
+    mask: jnp.ndarray,  # [B, T, S] bool
+    scale: float,
+    softcap: float | None = None,
+) -> jnp.ndarray:
+    """Dense (XLA-fused) attention with GQA head-group mapping.
+
+    Returns [B, T, n_heads, hd]. f32 softmax accumulation.
+    """
+    B, T, n_heads, hd = q.shape
+    n_kv = k.shape[1]
+    g = n_heads // n_kv
+    qg = q.reshape(B, T, n_kv, g, hd)
+    # scores: [B, n_kv, g, T, S]
+    scores = jnp.einsum(
+        "btkgh,bksh->bkgts", qg, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    if softcap is not None:
+        scores = jnp.tanh(scores / softcap) * softcap
+    m = mask[:, None, None, :, :]
+    scores = jnp.where(m, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgts,bksh->btkgh", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, n_heads, hd).astype(q.dtype)
+
+
+def self_attention_block(
+    x: jnp.ndarray,  # [B, T, D] (already normed)
+    params: dict,
+    cfg: ModelConfig,
+    positions: jnp.ndarray,  # [B, T]
+    cache: KVLayerCache | None,
+    cos: jnp.ndarray | None,
+    sin: jnp.ndarray | None,
+    sliding_window: int | None,
+) -> tuple[jnp.ndarray, KVLayerCache | None]:
+    """QKV projections, RoPE, cache update, attention, output projection."""
+    B, T, D = x.shape
+    hd = cfg.head_size
+
+    q = linear(x, params["wq"], params.get("wq.bias"))
+    k = linear(x, params["wk"], params.get("wk.bias"))
+    v = linear(x, params["wv"], params.get("wv.bias"))
+    q = q.reshape(B, T, cfg.n_heads, hd)
+    k = k.reshape(B, T, cfg.n_kv_heads, hd)
+    v = v.reshape(B, T, cfg.n_kv_heads, hd)
+
+    if cos is not None:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    # cache layout [B, n_kv, S, hd]
+    k_new = k.transpose(0, 2, 1, 3)
+    v_new = v.transpose(0, 2, 1, 3)
+    if cache is not None:
+        # scatter the T new positions into the cache at their absolute pos
+        # (positions are per-sequence for continuous batching)
+        S = cache.k.shape[2]
+        pos0 = positions[:, 0]
+        k_cache = _update_cache(cache.k, k_new, pos0)
+        v_cache = _update_cache(cache.v, v_new, pos0)
+        cache = KVLayerCache(k_cache, v_cache)
+        k_att, v_att = k_cache, v_cache
+        kv_len = S
+    else:
+        k_att, v_att = k_new, v_new
+        kv_len = T
+
+    if cfg.attention_multiplier is not None:  # granite
+        scale = cfg.attention_multiplier
+    elif cfg.query_pre_attn_scalar is not None:  # gemma2
+        scale = cfg.query_pre_attn_scalar ** -0.5
+    else:
+        scale = hd**-0.5
+
+    mask = attention_scores_mask(positions, kv_len, cfg.causal, sliding_window)
+    out = multi_head_attention(
+        q, k_att, v_att, mask, scale, cfg.attn_logit_softcap
+    )
+    out = out.reshape(B, T, cfg.n_heads * hd)
+    out = linear(out, params["wo"], params.get("wo.bias"))
+    return out, cache
+
+
+def _update_cache(cache: jnp.ndarray, new: jnp.ndarray, pos0: jnp.ndarray) -> jnp.ndarray:
+    """Insert new [B, n_kv, T, hd] into cache [B, n_kv, S, hd] at per-row pos0."""
+
+    def upd(c, n, p):
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))
+
+    return jax.vmap(upd)(cache, new, pos0)
+
+
+# ---------------------------------------------------------------------------
+# MLP (cf. MLPBlock.java:106-165)
+# ---------------------------------------------------------------------------
+
+
+def mlp_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
+    if "w3" in params:  # gated (llama family): w2(act(w1(x)) * w3(x))
+        gate = activation(linear(x, params["w1"]), cfg.activation)
+        up = linear(x, params["w3"])
+        return linear(gate * up, params["w2"])
+    # classic 2-layer MLP with biases (gpt2/bert)
+    h = activation(
+        linear(x, params["w1"], params.get("w1.bias")), cfg.activation
+    )
+    return linear(h, params["w2"], params.get("w2.bias"))
+
+
+# ---------------------------------------------------------------------------
+# MoE (cf. MoEBlock.java:80-168)
+# ---------------------------------------------------------------------------
+
+
+def moe_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
+    """Mixture-of-experts FFN with top-k routing.
+
+    Dense formulation: every expert computes, outputs are combined with
+    routing weights. Correct and mesh-friendly (experts shard over the mesh);
+    the grouped/ragged fast path lives in ops.
+    """
+    B, T, D = x.shape
+    E, K = cfg.n_experts, cfg.n_experts_per_token
+    router_logits = linear(x, params["router"], out_dtype=jnp.float32)  # [B,T,E]
+    topk_w, topk_idx = jax.lax.top_k(router_logits, K)
+    topk_w = jax.nn.softmax(topk_w, axis=-1)  # softmax over the selected k
+    # combine weights as dense [B,T,E]
+    combine = jnp.zeros((B, T, E), router_logits.dtype).at[
+        jnp.arange(B)[:, None, None],
+        jnp.arange(T)[None, :, None],
+        topk_idx,
+    ].add(topk_w)
+
+    # experts: stacked weights [E, h, D] / [E, D, h]
+    def expert_fn(w1, w2, w3):
+        gate = activation(linear(x, w1), cfg.activation)
+        up = linear(x, w3)
+        return linear(gate * up, w2)  # [B, T, D]
+
+    outs = jax.vmap(expert_fn)(params["experts.w1"], params["experts.w2"], params["experts.w3"])
+    # outs: [E, B, T, D] -> weighted sum
+    return jnp.einsum("ebtd,bte->btd", outs.astype(jnp.float32), combine).astype(
+        x.dtype
+    )

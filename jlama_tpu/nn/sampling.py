@@ -1,0 +1,50 @@
+"""On-device token sampling.
+
+cf. AbstractModel.sample (/root/reference/jlama-core/.../model/
+AbstractModel.java:443-491): greedy when temperature == 0, otherwise
+temperature-scaled categorical sampling. Extended beyond the reference with
+top-k / top-p (nucleus) filtering, computed entirely on device so the decode
+loop never round-trips logits to the host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_token(
+    logits: jnp.ndarray,  # [B, V] f32
+    key: jax.Array,
+    temperature: float | jnp.ndarray = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """Sample one token per row. Returns [B] int32.
+
+    temperature may be a traced scalar; 0 → greedy (argmax).
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    scaled = logits / temp
+
+    if top_k and top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep first)
+        cutoff_mask = cum - probs > top_p
+        cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits)
+        threshold = jnp.min(
+            jnp.where(jnp.isfinite(cutoff), cutoff, jnp.inf), axis=-1, keepdims=True
+        )
+        scaled = jnp.where(scaled < threshold, -jnp.inf, scaled)
+
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    use_greedy = jnp.asarray(temperature, jnp.float32) == 0.0
+    return jnp.where(use_greedy, greedy, sampled)
