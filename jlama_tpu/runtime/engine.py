@@ -1,0 +1,234 @@
+"""Inference engine: jitted prefill/decode loop, sessions, streaming.
+
+The TPU equivalent of the reference's AbstractModel.generate
+(/root/reference/jlama-core/.../model/AbstractModel.java:516-646) and the
+Generator contract (model/functions/Generator.java:31-243):
+
+- prompt prefill in length-bucketed batches (vs the reference's ≤256-token
+  chunks, AbstractModel.java:295-312) so jit recompiles are bounded;
+- per-token decode as ONE jitted step with a donated KV cache — forward,
+  logits, and sampling all stay on device; only the sampled token id comes
+  back to the host for streaming;
+- per-session KV caches with position resume (KvBufferCache semantics,
+  tensor/KvBufferCache.java:58-64);
+- Response carries the same fields/finish reasons as Generator.Response.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.base import KVCache, forward_hidden, lm_logits
+from ..nn.sampling import sample_token
+
+
+class FinishReason(str, Enum):
+    MAX_TOKENS = "MAX_TOKENS"
+    STOP_TOKEN = "STOP_TOKEN"
+    TOOL_CALL = "TOOL_CALL"
+    ERROR = "ERROR"
+
+
+@dataclass
+class Response:
+    response_text: str
+    response_text_with_special_tokens: str
+    finish_reason: FinishReason
+    prompt_tokens: int
+    generated_tokens: int
+    prompt_time_ms: float
+    generate_time_ms: float
+    token_ids: list[int] = field(default_factory=list)
+    tool_calls: list = field(default_factory=list)
+
+
+@dataclass
+class Session:
+    """Cache invariant: positions [0, position) are written; `pending` is the
+    last sampled token (to occupy slot `position`) not yet forwarded."""
+
+    cache: KVCache
+    position: int = 0
+    pending: int | None = None
+
+
+def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 255) // 256) * 256
+
+
+class Engine:
+    """Single-model inference engine over a loaded param tree."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: ModelConfig,
+        tokenizer=None,
+        max_seq_len: int | None = None,
+        kv_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_seq_len = min(max_seq_len or cfg.context_length, cfg.context_length)
+        self.kv_dtype = kv_dtype
+        self.compute_dtype = compute_dtype
+        self.sessions: dict[str, Session] = {}
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=())
+        def _prefill(params, cache, tokens, positions):
+            hidden, cache = forward_hidden(
+                params, cfg, tokens, positions, cache, dtype=compute_dtype
+            )
+            return hidden, cache
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(6, 7))
+        def _decode(params, cache, token, position, key, temperature, top_k, top_p):
+            hidden, cache = forward_hidden(
+                params, cfg, token, position, cache, dtype=compute_dtype
+            )
+            logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
+            next_tok = sample_token(logits, key, temperature, top_k=top_k, top_p=top_p)
+            return next_tok, cache
+
+        @jax.jit
+        def _logits_at(params, hidden_last):
+            return lm_logits(params, cfg, hidden_last)
+
+        self._prefill = _prefill
+        self._decode = _decode
+        self._logits_at = _logits_at
+
+    # ------------------------------------------------------------------
+    # sessions (cf. KvBufferCache.getKvBuffer / session resume)
+    # ------------------------------------------------------------------
+
+    def get_session(self, session_id: str | None) -> tuple[str, Session]:
+        sid = session_id or str(uuid.uuid4())
+        if sid not in self.sessions:
+            self.sessions[sid] = Session(
+                cache=KVCache.init(self.cfg, 1, self.max_seq_len, self.kv_dtype)
+            )
+        return sid, self.sessions[sid]
+
+    def drop_session(self, session_id: str) -> None:
+        self.sessions.pop(session_id, None)
+
+    # ------------------------------------------------------------------
+    # token-level generation
+    # ------------------------------------------------------------------
+
+    def generate_tokens(
+        self,
+        prompt_ids: list[int],
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        session_id: str | None = None,
+        seed: int = 0,
+        on_token: Callable[[int, float], None] | None = None,
+        stop_ids: set[int] | None = None,
+    ) -> Response:
+        sid, sess = self.get_session(session_id)
+        cfg = self.cfg
+        stop = set(stop_ids) if stop_ids is not None else set(cfg.eos_token_ids)
+
+        prompt_ids = list(prompt_ids)
+        if sess.pending is not None:
+            prompt_ids = [sess.pending] + prompt_ids
+            sess.pending = None
+        start_pos = sess.position
+        n_prompt = len(prompt_ids)
+        if start_pos + n_prompt + max_new_tokens > self.max_seq_len:
+            max_new_tokens = max(0, self.max_seq_len - start_pos - n_prompt)
+
+        t0 = time.perf_counter()
+        # prefill all but the last prompt token; the last goes through decode
+        # so sampling is fused into the same step
+        if n_prompt > 1:
+            ctx = prompt_ids[:-1]
+            bucket = _bucket(len(ctx))
+            if start_pos + bucket > self.max_seq_len:
+                # bucketed write would not fit; use the exact length (the KV
+                # write is a contiguous dynamic_update_slice, which clamps
+                # out-of-bounds starts and would otherwise clobber history)
+                bucket = len(ctx)
+            toks = np.zeros((1, bucket), dtype=np.int32)
+            toks[0, : len(ctx)] = ctx
+            # pads get contiguous future positions: their K/V writes land at
+            # not-yet-attendable slots and are overwritten by the real token
+            # that later occupies each slot (cache write precedes attention
+            # within a step), so they never leak into results
+            pos = np.arange(start_pos, start_pos + bucket, dtype=np.int32)[None, :]
+            hidden, sess.cache = self._prefill(
+                self.params, sess.cache, jnp.asarray(toks), jnp.asarray(pos)
+            )
+        prompt_time = (time.perf_counter() - t0) * 1000
+
+        t1 = time.perf_counter()
+        key = jax.random.PRNGKey(seed)
+        cur = int(prompt_ids[-1])
+        cur_pos = start_pos + n_prompt - 1
+        out_ids: list[int] = []
+        finish = FinishReason.MAX_TOKENS
+        for i in range(max_new_tokens):
+            key, sub = jax.random.split(key)
+            tok, sess.cache = self._decode(
+                self.params,
+                sess.cache,
+                jnp.asarray([[cur]], dtype=jnp.int32),
+                jnp.asarray([[cur_pos]], dtype=jnp.int32),
+                sub,
+                jnp.float32(temperature),
+                top_k,
+                top_p,
+            )
+            nxt = int(tok[0])
+            cur_pos += 1
+            cur = nxt
+            if nxt in stop:
+                finish = FinishReason.STOP_TOKEN
+                out_ids.append(nxt)
+                break
+            out_ids.append(nxt)
+            if on_token is not None:
+                ms_per_tok = (time.perf_counter() - t1) * 1000 / (i + 1)
+                on_token(nxt, ms_per_tok)
+        gen_time = (time.perf_counter() - t1) * 1000
+
+        sess.position = cur_pos
+        sess.pending = cur
+
+        text = ""
+        text_special = ""
+        if self.tokenizer is not None:
+            visible = [t for t in out_ids if t not in stop]
+            text = self.tokenizer.decode(visible)
+            text_special = self.tokenizer.decode(out_ids, skip_special=False) if hasattr(
+                self.tokenizer, "decode"
+            ) else text
+        return Response(
+            response_text=text,
+            response_text_with_special_tokens=text_special,
+            finish_reason=finish,
+            prompt_tokens=n_prompt,
+            generated_tokens=len(out_ids),
+            prompt_time_ms=prompt_time,
+            generate_time_ms=gen_time,
+            token_ids=out_ids,
+        )

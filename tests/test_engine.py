@@ -1,0 +1,70 @@
+"""Engine tests: greedy decode vs transformers.generate, session resume."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tests.helpers import make_tiny_llama
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def engine_and_hf(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tiny_llama_eng")
+    model_dir, hf = make_tiny_llama(tmp)
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.runtime.engine import Engine
+
+    params, cfg = load_params(model_dir, float_dtype=jnp.float32)
+    eng = Engine(params, cfg, max_seq_len=128, kv_dtype=jnp.float32,
+                 compute_dtype=jnp.float32)
+    return eng, hf
+
+
+def test_greedy_matches_transformers(engine_and_hf):
+    eng, hf = engine_and_hf
+    prompt = [1, 5, 9, 42, 7]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt], dtype=torch.long),
+            max_new_tokens=12,
+            do_sample=False,
+            eos_token_id=None,
+        )[0].tolist()[len(prompt):]
+    resp = eng.generate_tokens(prompt, max_new_tokens=12, temperature=0.0)
+    assert resp.token_ids == ref
+    assert resp.finish_reason.name in ("MAX_TOKENS", "STOP_TOKEN")
+    assert resp.prompt_tokens == 5
+    assert resp.generated_tokens == 12 or resp.finish_reason.name == "STOP_TOKEN"
+
+
+def test_session_resume_equals_one_shot(engine_and_hf):
+    eng, hf = engine_and_hf
+    # one-shot: 8-token prompt, greedy 6
+    prompt = [1, 3, 7, 12, 30, 44, 100, 9]
+    full = eng.generate_tokens(prompt, max_new_tokens=6, temperature=0.0,
+                               session_id="one")
+    # two-step with session: first half, generate 0... then rest
+    sid = "resume"
+    eng.generate_tokens(prompt[:4], max_new_tokens=0, session_id=sid)
+    r2 = eng.generate_tokens(prompt[4:], max_new_tokens=6, temperature=0.0,
+                             session_id=sid)
+    assert r2.token_ids == full.token_ids
+
+
+def test_streaming_callback(engine_and_hf):
+    eng, _ = engine_and_hf
+    seen = []
+    resp = eng.generate_tokens(
+        [1, 5, 9], max_new_tokens=5, on_token=lambda t, ms: seen.append(t)
+    )
+    assert seen == resp.token_ids or seen == resp.token_ids[:-1]
+
+
+def test_temperature_sampling_runs(engine_and_hf):
+    eng, _ = engine_and_hf
+    r = eng.generate_tokens([1, 5], max_new_tokens=5, temperature=0.8, top_p=0.9,
+                            top_k=50, seed=3)
+    assert len(r.token_ids) == 5
+    assert all(0 <= t < 256 for t in r.token_ids)
