@@ -1,0 +1,117 @@
+"""Device mesh construction and parameter sharding rules.
+
+The TPU-native replacement for the reference's DistributedContext + gRPC
+shard planner (/root/reference/jlama-core/.../model/DistributedContext.java,
+jlama-net/.../grpc/JlamaService.java:79-134): instead of head/layer ordinals
+negotiated over RPC, a `jax.sharding.Mesh` with axes
+
+  dp — data parallel (batch / concurrent sequences)
+  pp — pipeline parallel (the stacked layer axis; reference "layer shard")
+  tp — tensor parallel (heads / FFN hidden; reference "model shard"),
+       also used for expert parallelism (MoE expert axis) and sequence
+       parallelism (activation sequence axis between blocks)
+
+and GSPMD inserting the collectives the reference implemented as the
+`combine` all-reduce RPC (psum over tp) and the `pass` ring (pp boundaries).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..nn.qarray import QArray
+
+
+def make_mesh(
+    devices=None, dp: int = 1, pp: int = 1, tp: int | None = None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = n // (dp * pp)
+    if dp * pp * tp != n:
+        raise ValueError(f"dp*pp*tp={dp * pp * tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, pp, tp)
+    return Mesh(arr, ("dp", "pp", "tp"))
+
+
+# sharding rules for stacked layer params: key -> PartitionSpec (without the
+# leading pp/layer axis, which is added automatically)
+_LAYER_RULES: dict[str, P] = {
+    "wq": P("tp", None),  # column-parallel: heads sharded
+    "wk": P("tp", None),
+    "wv": P("tp", None),
+    "wo": P(None, "tp"),  # row-parallel: psum after (the combine point)
+    "w1": P("tp", None),
+    "w3": P("tp", None),
+    "w2": P(None, "tp"),
+    "wq.bias": P("tp"),
+    "wk.bias": P("tp"),
+    "wv.bias": P("tp"),
+    "wo.bias": P(None),
+    "w1.bias": P("tp"),
+    "w2.bias": P(None),
+    "router": P(None, None),
+    "experts.w1": P("tp", None, None),  # expert-parallel over tp
+    "experts.w2": P("tp", None, None),
+    "experts.w3": P("tp", None, None),
+}
+
+
+def _spec_for_layer_key(key: str, ndim_tail: int) -> P:
+    base = _LAYER_RULES.get(key)
+    if base is None:  # norms and other vectors: replicate within a stage
+        base = P(*([None] * ndim_tail))
+    return P("pp", *base)
+
+
+def _leaf_ndim(leaf) -> int:
+    return leaf.data.ndim if isinstance(leaf, QArray) else leaf.ndim
+
+
+def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
+    """Build a NamedSharding tree matching the param tree."""
+
+    def top_spec(key: str, leaf) -> P:
+        nd = _leaf_ndim(leaf)
+        if key in ("embed", "lm_head"):
+            return P("tp", None)  # vocab-sharded large tables
+        return P(*([None] * nd))
+
+    out: dict = {}
+    for k, v in params.items():
+        if k == "layers":
+            continue
+        spec = top_spec(k, v)
+        if isinstance(v, QArray):
+            out[k] = QArray(
+                NamedSharding(mesh, spec),
+                NamedSharding(mesh, P(*spec)),  # scales shard like data
+                v.fmt,
+            )
+        else:
+            out[k] = NamedSharding(mesh, spec)
+
+    lay: dict = {}
+    for k, v in params["layers"].items():
+        nd = _leaf_ndim(v) - 1  # drop stacked layer axis
+        spec = _spec_for_layer_key(k, nd)
+        if isinstance(v, QArray):
+            # scales have the same leading dims; last (block) dim follows the
+            # data's last-dim sharding
+            lay[k] = QArray(NamedSharding(mesh, spec), NamedSharding(mesh, spec), v.fmt)
+        else:
+            lay[k] = NamedSharding(mesh, spec)
+    out["layers"] = lay
+    return out
+
+
+def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
+    """device_put the param tree with TP/PP shardings."""
+    shardings = param_shardings(params, cfg, mesh)
+    # QArray is a registered pytree node, so the shardings tree (QArray leaves
+    # holding NamedShardings) pairs leaf-wise with the param tree.
+    return jax.tree.map(jax.device_put, params, shardings)
