@@ -37,9 +37,12 @@ def init_params_device(cfg, dtype=jnp.bfloat16, quant: str = "bf16"):
 
     def lin(k, *shape):
         if quant == "q4":
-            data = jax.random.randint(k, shape, -8, 8, jnp.int8)
+            # random packed nibbles directly in kernel layout ("q4k")
+            data = jax.random.randint(
+                k, (*shape[:-1], shape[-1] // 2), 0, 256, jnp.int32
+            ).astype(jnp.uint8)
             scales = jnp.full((*shape[:-1], shape[-1] // 32), 0.01, jnp.float32)
-            return QArray(data, scales, "q4")
+            return QArray(data, scales, "q4k")
         return w(k, *shape)
 
     ks = jax.random.split(key, 16)

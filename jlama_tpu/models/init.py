@@ -38,8 +38,7 @@ def init_params(
             from ..quant import blockq
 
             packed, scales = blockq.q4_quantize_np(a)
-            vals = blockq.q4_unpack_np(packed)
-            return QArray(jnp.asarray(vals), jnp.asarray(scales), "q4")
+            return QArray(jnp.asarray(packed), jnp.asarray(scales), "q4")
         return jnp.asarray(a, dtype=dtype)
 
     layers: dict = {

@@ -44,8 +44,8 @@ class WeightReader:
         """Load a weight matrix: QArray when quantized, else jnp float."""
         data, scales, st_dtype = self.idx.load_quantized(name)
         if st_dtype == "Q4":
-            vals = blockq.q4_unpack_np(data)
-            return ("q4", vals, np.ascontiguousarray(scales))
+            # packed payload is the runtime layout (QArray fmt "q4")
+            return ("q4", np.ascontiguousarray(data), np.ascontiguousarray(scales))
         if st_dtype == "I8" and scales is not None:
             return ("q8", np.ascontiguousarray(data), np.ascontiguousarray(scales))
         return ("f", _to_np_float(np.ascontiguousarray(data)), None)
@@ -75,8 +75,7 @@ def _stack_linears(items: list[tuple]) -> object:
     out = []
     for k, d, s in items:
         if k == "q4":
-            packed = blockq.q4_pack_np(d)
-            out.append(blockq.q4_dequantize_np(packed, s))
+            out.append(blockq.q4_dequantize_np(d, s))
         elif k == "q8":
             out.append(blockq.q8_dequantize_np(d, s))
         else:

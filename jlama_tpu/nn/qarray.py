@@ -1,18 +1,17 @@
-"""QArray: a quantized weight tensor as a JAX pytree.
+"""QArray: a block-quantized weight tensor as a JAX pytree.
 
 The TPU-native runtime representation of the reference's Q4/Q8 buffer tensors
 (/root/reference/jlama-core/.../tensor/Q4ByteBufferTensor.java,
-Q8ByteBufferTensor.java). Unlike the SIMD-oriented nibble interleave of the
-checkpoint format, the in-memory layout here is MXU-friendly:
+Q8ByteBufferTensor.java).
 
-- q4: int8 values in [-8, 7], stored UNPACKED as int8 [..., n] by default
-  (2x the checkpoint bytes but directly consumable by int8 MXU paths), or
-  packed uint8 [..., n/2] with *sequential* nibble order for the Pallas
-  dequant kernels. `scales` is [..., n/32] (block-32 along the reduction dim).
-- q8: int8 [..., n] + scales [..., n/32].
+- fmt "q4": `data` is the JQ4 packed payload, uint8 [..., n/2] in the
+  checkpoint's half-block layout (byte j of a 32-block holds element j in the
+  low nibble and element j+16 in the high nibble) — loaded zero-copy from
+  checkpoints, and consumed directly by the Pallas dequant+matmul kernel so
+  HBM traffic stays at 4 bits/weight.
+- fmt "q8": `data` is int8 [..., n].
 
-Conversion from/to the bit-exact JQ4 checkpoint layout lives in
-quant.blockq (q4_unpack_np / q4_pack_np).
+`scales` is float32 [..., n/32] (block-32 along the reduction axis).
 """
 
 from __future__ import annotations
@@ -27,49 +26,64 @@ import numpy as np
 from ..quant import blockq
 
 BLOCK = blockq.BLOCK_SIZE
+HALF = blockq.HALF_BLOCK
 
 
-@partial(jax.tree_util.register_dataclass, data_fields=["data", "scales"], meta_fields=["fmt"])
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "scales"],
+    meta_fields=["fmt"],
+)
 @dataclass
 class QArray:
-    """Block-quantized tensor: data + per-block-32 scales over the last axis.
-
-    fmt: "q4" (int8 values in [-8,7]) or "q8" (int8 in [-127,127]).
-    """
-
-    data: jnp.ndarray  # int8 [..., n]
-    scales: jnp.ndarray  # float32/bfloat16 [..., n/32]
+    data: jnp.ndarray  # q4: uint8 [..., n/2] packed; q8: int8 [..., n]
+    scales: jnp.ndarray  # float32 [..., n/32]
     fmt: str = "q4"
 
     @property
     def shape(self):
+        """Logical (unpacked) shape."""
+        if self.fmt == "q4":
+            return (*self.data.shape[:-1], self.data.shape[-1] * 2)
         return self.data.shape
 
     @property
     def ndim(self):
         return self.data.ndim
 
-    def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
-        shape = self.data.shape
-        d = self.data.reshape(*shape[:-1], shape[-1] // BLOCK, BLOCK)
-        out = d.astype(jnp.float32) * self.scales[..., None].astype(jnp.float32)
-        return out.reshape(shape).astype(dtype)
+    def unpack(self) -> jnp.ndarray:
+        """Quantized integer values in original element order (int8)."""
+        if self.fmt != "q4":
+            return self.data
+        d = self.data
+        pb = d.reshape(*d.shape[:-1], d.shape[-1] // HALF, HALF)
+        lo = (pb & 0x0F).astype(jnp.int8) - 8
+        hi = ((pb >> 4) & 0x0F).astype(jnp.int8) - 8
+        vals = jnp.concatenate([lo, hi], axis=-1)  # [..., nb, 32]
+        return vals.reshape(*d.shape[:-1], d.shape[-1] * 2)
 
-    def astype_scales(self, dtype) -> "QArray":
-        return QArray(self.data, self.scales.astype(dtype), self.fmt)
+    def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
+        vals = self.unpack()
+        shape = vals.shape
+        v = vals.reshape(*shape[:-1], shape[-1] // BLOCK, BLOCK)
+        out = v.astype(jnp.float32) * self.scales[..., None].astype(jnp.float32)
+        return out.reshape(shape).astype(dtype)
 
     def __getitem__(self, idx) -> "QArray":
         return QArray(self.data[idx], self.scales[idx], self.fmt)
 
 
 def q4_from_checkpoint(packed: np.ndarray, scales: np.ndarray) -> QArray:
-    """Build a QArray from the bit-exact JQ4 checkpoint payload."""
-    vals = blockq.q4_unpack_np(packed)
-    return QArray(jnp.asarray(vals), jnp.asarray(scales), "q4")
+    """Zero-copy: the checkpoint payload IS the runtime layout."""
+    return QArray(
+        jnp.asarray(packed), jnp.asarray(scales, dtype=np.float32), "q4"
+    )
 
 
 def q8_from_checkpoint(values: np.ndarray, scales: np.ndarray) -> QArray:
-    return QArray(jnp.asarray(values), jnp.asarray(scales), "q8")
+    return QArray(
+        jnp.asarray(values), jnp.asarray(scales, dtype=np.float32), "q8"
+    )
 
 
 def quantize_q4(x: np.ndarray) -> QArray:

@@ -41,7 +41,7 @@ def linear(x: jnp.ndarray, w, bias: jnp.ndarray | None = None, out_dtype=None):
     """y = x @ w.T (+ bias). w: jnp array [out, in] or QArray [out, in]."""
     out_dtype = out_dtype or x.dtype
     if isinstance(w, QArray):
-        if _USE_PALLAS and w.fmt == "q4":
+        if w.fmt == "q4k" or (_USE_PALLAS and w.fmt == "q4"):
             from . import pallas_q4
 
             y = pallas_q4.q4_matmul(x, w, out_dtype=out_dtype)

@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: fused Q4 dequant + matmul.
+
+TPU-native equivalent of the reference's native GEMM library
+(/root/reference/jlama-native/src/main/c/simd/vector_simd.c: gemm_f32_q4 /
+gemm_q8_q4): weights stream from HBM as packed 4-bit nibbles (+block scales),
+are dequantized on the VPU inside VMEM, and hit the MXU as bf16 — so decode
+stays weight-bandwidth-bound at ~4.5 bits/weight instead of 16.
+
+Design notes (all shaped by Mosaic's layout rules):
+
+- "q4k" column order: checkpoint JQ4 packs byte j of 32-block b at column
+  b*16+j (elements b*32+j lo-nibble / b*32+16+j hi-nibble).
+  `to_kernel_layout` permutes byte columns ONCE at load to c = j*nb + b
+  (nb = K/32). Then the per-block scale of any packed column c is
+  scales[c mod nb] — exactly the tiling `pltpu.repeat` produces — and every
+  kernel step is a pure 2-D op (Mosaic rejects 3-D reshapes).
+- The activation's contraction axis is permuted to match OUTSIDE the kernel
+  (cheap: x is M×K; weights are N×K), leaving the dot product unchanged.
+- VPU economy: nibbles stay UNSIGNED [0,15] (Mosaic cannot subtract in int8,
+  and the -8 shift is instead folded into a rank-1 correction
+  y -= 8 * (block_sums(x) @ scales.T), a tiny extra MXU dot); the two nibble
+  planes feed two separate dots (no concat copy); scales are bf16 so the
+  dequant multiply runs at bf16 lane width.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn.qarray import QArray
+
+
+def kernel_column_perm(k: int) -> np.ndarray:
+    """Byte-column permutation: new column c takes old column (c%nb)*16+c//nb."""
+    nb = k // 32
+    c = np.arange(k // 2)
+    return (c % nb) * 16 + c // nb
+
+
+def to_kernel_layout(w: QArray) -> QArray:
+    """One-time repack of a canonical q4 QArray into kernel column order."""
+    if w.fmt != "q4":
+        raise ValueError(f"expected fmt q4, got {w.fmt}")
+    k = w.data.shape[-1] * 2
+    perm = kernel_column_perm(k)
+    return QArray(w.data[..., perm], w.scales, "q4k")
+
+
+def from_kernel_layout(w: QArray) -> QArray:
+    if w.fmt != "q4k":
+        raise ValueError(f"expected fmt q4k, got {w.fmt}")
+    k = w.data.shape[-1] * 2
+    inv = np.argsort(kernel_column_perm(k))
+    return QArray(w.data[..., inv], w.scales, "q4")
+
+
+def split_x(x: jnp.ndarray):
+    """Split/permute x's contraction axis to match the q4k nibble planes.
+
+    Returns (x_lo, x_hi, x_block_sums): lo/hi are [M, K/2] with column
+    j*nb+b ↦ element b*32+j (resp. +16); block_sums is [M, K/32].
+    """
+    m, k = x.shape
+    nb = k // 32
+    xb = x.reshape(m, nb, 32)
+    lo = xb[:, :, :16].transpose(0, 2, 1).reshape(m, 16 * nb)
+    hi = xb[:, :, 16:].transpose(0, 2, 1).reshape(m, 16 * nb)
+    # block sums stay f32: y = d - 8*corr cancels two large terms, so any
+    # rounding of the sums (unlike the consistently-rounded bf16 scales) is
+    # amplified by |8*corr|/|y|
+    bsum = xb.sum(axis=-1, dtype=jnp.float32)
+    return lo, hi, bsum
+
+
+def _q4_matmul_kernel(xl_ref, xh_ref, xb_ref, wp_ref, s_ref, o_ref, *, out_dtype):
+    """One output tile: o[M, TN] = x @ deq(wp, s).T via unsigned nibbles."""
+    w32 = wp_ref[...].astype(jnp.int32)  # [TN, K/2] kernel column order
+    lo = (w32 & 0x0F).astype(jnp.bfloat16)
+    hi = (w32 >> 4).astype(jnp.bfloat16)
+    s = s_ref[...]  # bf16 [TN, nb]
+    srep = pltpu.repeat(s, 16, axis=1)  # tiles: column c ↦ s[c mod nb]
+    d = jax.lax.dot_general(
+        xl_ref[...], lo * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d += jax.lax.dot_general(
+        xh_ref[...], hi * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    corr = jax.lax.dot_general(
+        xb_ref[...], s.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (d - 8.0 * corr).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_n", "interpret"))
+def q4k_matmul_2d(
+    x: jnp.ndarray,  # [M, K]
+    packed: jnp.ndarray,  # [N, K/2] uint8, kernel column order
+    scales: jnp.ndarray,  # [N, K/32]
+    out_dtype=jnp.bfloat16,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    m, k = x.shape
+    n = packed.shape[0]
+    bn = min(block_n, n)
+    while n % bn:
+        bn //= 2
+    xl, xh, xb = split_x(x.astype(jnp.bfloat16))
+    out = pl.pallas_call(
+        functools.partial(_q4_matmul_kernel, out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k // 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=n * k // 2 + n * k // 32 * 2 + m * k * 2 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xl, xh, xb, packed, scales.astype(jnp.bfloat16))
+    return out
+
+
+def q4_matmul(x: jnp.ndarray, w: QArray, out_dtype=jnp.bfloat16, interpret=False):
+    """y = x @ dequant(w).T for arbitrary leading dims of x.
+
+    Accepts fmt "q4k" (preferred: repacked once at load via
+    prepare_params_for_pallas) or canonical "q4" (repacked on the fly —
+    correct but wasteful inside a decode loop).
+    """
+    if w.fmt == "q4":
+        w = QArray(
+            w.data[..., kernel_column_perm(w.data.shape[-1] * 2)], w.scales, "q4k"
+        )
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    y = q4k_matmul_2d(x2, w.data, w.scales, out_dtype=out_dtype, interpret=interpret)
+    return y.reshape(*lead, -1)
+
+
+def prepare_params_for_pallas(params):
+    """Tree-map: convert every q4 QArray leaf to kernel layout (one-time)."""
+
+    def conv(leaf):
+        if isinstance(leaf, QArray) and leaf.fmt == "q4":
+            return to_kernel_layout(leaf)
+        return leaf
+
+    return jax.tree.map(conv, params, is_leaf=lambda x: isinstance(x, QArray))

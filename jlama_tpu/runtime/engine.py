@@ -109,9 +109,18 @@ class Engine:
         def _logits_at(params, hidden_last):
             return lm_logits(params, cfg, hidden_last)
 
+        @jax.jit
+        def _hidden_nocache(params, tokens, positions, token_types):
+            hidden, _ = forward_hidden(
+                params, cfg, tokens, positions, None, token_types,
+                dtype=compute_dtype,
+            )
+            return hidden
+
         self._prefill = _prefill
         self._decode = _decode
         self._logits_at = _logits_at
+        self._hidden_nocache = _hidden_nocache
 
     # ------------------------------------------------------------------
     # sessions (cf. KvBufferCache.getKvBuffer / session resume)
@@ -232,3 +241,68 @@ class Engine:
             generate_time_ms=gen_time,
             token_ids=out_ids,
         )
+
+    # ------------------------------------------------------------------
+    # embeddings / classification
+    # (cf. AbstractModel.embed/classify, AbstractModel.java:332-419)
+    # ------------------------------------------------------------------
+
+    def embed_tokens(
+        self,
+        token_ids: list[int],
+        pooling: str = "AVG",  # AVG | MAX | SUM | MODEL
+        token_types: list[int] | None = None,
+    ) -> np.ndarray:
+        import numpy as _np
+
+        toks = jnp.asarray([token_ids], dtype=jnp.int32)
+        pos = jnp.arange(len(token_ids), dtype=jnp.int32)[None, :]
+        tt = (
+            jnp.asarray([token_types], dtype=jnp.int32)
+            if token_types is not None
+            else None
+        )
+        hidden = _np.asarray(
+            self._hidden_nocache(self.params, toks, pos, tt), dtype=_np.float32
+        )[0]
+        if pooling == "MODEL":
+            # last token "represents the sum of the prompt" (AbstractModel.java:346)
+            v = hidden[-1]
+            if "pooler.weight" in self.params:  # BERT pooler: dense + tanh
+                w = _np.asarray(self.params["pooler.weight"], dtype=_np.float32)
+                b = _np.asarray(
+                    self.params.get("pooler.bias", _np.zeros(w.shape[0])),
+                    dtype=_np.float32,
+                )
+                v = _np.tanh(w @ v + b)
+            return v
+        if pooling == "MAX":
+            v = hidden.max(axis=0)
+        elif pooling == "SUM":
+            v = hidden.sum(axis=0)
+        else:
+            v = hidden.mean(axis=0)
+        n = _np.linalg.norm(v)
+        return v / n if n > 0 else v  # L2-normalize (AbstractModel.java:370-389)
+
+    def embed(self, text: str, pooling: str = "AVG") -> np.ndarray:
+        ids = self.tokenizer.encode(text)
+        return self.embed_tokens(ids, pooling=pooling)
+
+    def classify(self, text: str, pooling: str = "MODEL") -> dict[str, float]:
+        """embed → classifier head → softmax → {label: prob}."""
+        import numpy as _np
+
+        labels = self.cfg.classification_labels
+        if labels is None or "classifier.weight" not in self.params:
+            raise ValueError("model has no classification head")
+        v = self.embed_tokens(self.tokenizer.encode(text), pooling=pooling)
+        w = _np.asarray(self.params["classifier.weight"], dtype=_np.float32)
+        b = _np.asarray(
+            self.params.get("classifier.bias", _np.zeros(w.shape[0])),
+            dtype=_np.float32,
+        )
+        logits = w @ v + b
+        p = _np.exp(logits - logits.max())
+        p /= p.sum()
+        return {labels[i]: float(p[i]) for i in range(len(p)) if i in labels}

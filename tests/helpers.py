@@ -17,7 +17,16 @@ def save_torch_model(model, tmp: Path, config: dict):
     tmp.mkdir(parents=True, exist_ok=True)
     sd = model.state_dict()
     sd = {k: v.contiguous() for k, v in sd.items() if "rotary_emb.inv_freq" not in k}
-    save_file(sd, tmp / "model.safetensors")
+    # drop duplicated tied tensors (real HF checkpoints omit the tied lm_head)
+    seen: dict[int, str] = {}
+    out = {}
+    for k, v in sd.items():
+        ptr = v.data_ptr()
+        if ptr in seen and v.shape == sd[seen[ptr]].shape:
+            continue
+        seen.setdefault(ptr, k)
+        out[k] = v
+    save_file(out, tmp / "model.safetensors")
     (tmp / "config.json").write_text(json.dumps(config))
 
 

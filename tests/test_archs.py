@@ -1,0 +1,202 @@
+"""Golden logits tests for every supported architecture vs transformers.
+
+One tiny random checkpoint per family, serialized to disk and loaded through
+the full config/safetensors/loader path (the reference's TestModels.java
+per-arch pattern, but hermetic)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tests.helpers import save_torch_model
+
+torch = pytest.importorskip("torch")
+
+TOKENS = np.array([[1, 5, 9, 42, 7, 13, 2, 30]], dtype=np.int32)
+
+
+def _ours_logits(model_dir, tokens=TOKENS, token_types=None):
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.models.base import forward_logits
+
+    params, cfg = load_params(model_dir, float_dtype=jnp.float32)
+    positions = np.arange(tokens.shape[1], dtype=np.int32)[None, :].repeat(
+        tokens.shape[0], 0
+    )
+    tt = jnp.asarray(token_types) if token_types is not None else None
+    logits, _ = forward_logits(
+        params, cfg, jnp.asarray(tokens), jnp.asarray(positions),
+        token_types=tt, dtype=jnp.float32,
+    )
+    return np.asarray(logits)
+
+
+def _ref_logits(model, tokens=TOKENS):
+    with torch.no_grad():
+        return model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+
+
+def _check(model_dir, hf_model, rtol=3e-3, atol=3e-3):
+    ref = _ref_logits(hf_model)
+    got = _ours_logits(model_dir)
+    np.testing.assert_allclose(got, ref, rtol=rtol, atol=atol)
+
+
+def test_gpt2(tmp_path):
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    cfg = dict(
+        model_type="gpt2", n_embd=64, n_head=4, n_layer=2, n_positions=128,
+        vocab_size=256, layer_norm_epsilon=1e-5, activation_function="gelu_new",
+        bos_token_id=0, eos_token_id=0,
+    )
+    m = GPT2LMHeadModel(
+        GPT2Config(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+    _check(tmp_path, m)
+
+
+def test_bert_classifier(tmp_path):
+    from transformers import BertConfig, BertForSequenceClassification
+
+    torch.manual_seed(1)
+    cfg = dict(
+        model_type="bert", hidden_size=64, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=128, vocab_size=256,
+        max_position_embeddings=128, type_vocab_size=2, layer_norm_eps=1e-12,
+        hidden_act="gelu", num_labels=3,
+        id2label={0: "a", 1: "b", 2: "c"}, label2id={"a": 0, "b": 1, "c": 2},
+    )
+    m = BertForSequenceClassification(
+        BertConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+
+    # compare hidden states via the bare encoder + our classifier output
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.models.base import forward_hidden
+
+    params, mc = load_params(tmp_path, float_dtype=jnp.float32)
+    pos = np.arange(TOKENS.shape[1], dtype=np.int32)[None, :]
+    hidden, _ = forward_hidden(
+        params, mc, jnp.asarray(TOKENS), jnp.asarray(pos), None,
+        dtype=jnp.float32,
+    )
+    with torch.no_grad():
+        ref_hidden = m.bert(
+            torch.tensor(TOKENS, dtype=torch.long)
+        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(np.asarray(hidden), ref_hidden, rtol=3e-3, atol=3e-3)
+    assert "classifier.weight" in params
+    assert mc.classification_labels == {0: "a", 1: "b", 2: "c"}
+
+
+def test_qwen2(tmp_path):
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(2)
+    cfg = dict(
+        model_type="qwen2", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+        rms_norm_eps=1e-6, vocab_size=256, max_position_embeddings=128,
+        rope_theta=10000.0, hidden_act="silu", tie_word_embeddings=False,
+    )
+    m = Qwen2ForCausalLM(
+        Qwen2Config(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+    _check(tmp_path, m)
+
+
+def test_mistral(tmp_path):
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(3)
+    cfg = dict(
+        model_type="mistral", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+        rms_norm_eps=1e-5, vocab_size=256, max_position_embeddings=128,
+        rope_theta=10000.0, hidden_act="silu", sliding_window=None,
+    )
+    m = MistralForCausalLM(
+        MistralConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+    _check(tmp_path, m)
+
+
+def test_gemma(tmp_path):
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(4)
+    cfg = dict(
+        model_type="gemma", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=1, num_hidden_layers=2,
+        rms_norm_eps=1e-6, vocab_size=256, max_position_embeddings=128,
+        rope_theta=10000.0, hidden_act="gelu_pytorch_tanh", head_dim=16,
+        tie_word_embeddings=True,
+    )
+    m = GemmaForCausalLM(
+        GemmaConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+    _check(tmp_path, m)
+
+
+def test_gemma2(tmp_path):
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(5)
+    cfg = dict(
+        model_type="gemma2", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+        rms_norm_eps=1e-6, vocab_size=256, max_position_embeddings=128,
+        rope_theta=10000.0, hidden_activation="gelu_pytorch_tanh", head_dim=16,
+        tie_word_embeddings=True, query_pre_attn_scalar=16,
+        final_logit_softcapping=30.0, attn_logit_softcapping=50.0,
+        sliding_window=4,
+    )
+    m = Gemma2ForCausalLM(
+        Gemma2Config(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+    _check(tmp_path, m)
+
+
+def test_granite(tmp_path):
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    torch.manual_seed(6)
+    cfg = dict(
+        model_type="granite", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+        rms_norm_eps=1e-5, vocab_size=256, max_position_embeddings=128,
+        rope_theta=10000.0, hidden_act="silu", tie_word_embeddings=True,
+        embedding_multiplier=6.0, residual_multiplier=0.22,
+        attention_multiplier=0.015625, logits_scaling=8.0,
+    )
+    m = GraniteForCausalLM(
+        GraniteConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+    _check(tmp_path, m)
+
+
+def test_mixtral(tmp_path):
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(7)
+    cfg = dict(
+        model_type="mixtral", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+        rms_norm_eps=1e-5, vocab_size=256, max_position_embeddings=128,
+        rope_theta=10000.0, hidden_act="silu", num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    m = MixtralForCausalLM(
+        MixtralConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+    _check(tmp_path, m)
