@@ -92,19 +92,22 @@ def main():
         tok = sample_token(logits, key, 0.0)
         return tok, cache
 
+    import numpy as np
+
     key = jax.random.PRNGKey(0)
     tok = jnp.asarray([[1]], jnp.int32)
 
-    # warmup/compile
+    # warmup/compile; np.asarray forces a REAL device sync (on the axon
+    # remote platform block_until_ready returns before execution completes)
     t, cache = decode_step(params, cache, tok, jnp.asarray([[0]], jnp.int32), key)
-    t.block_until_ready()
+    np.asarray(t)
 
     start = time.perf_counter()
     for i in range(1, DECODE_TOKENS + 1):
         t, cache = decode_step(
             params, cache, t[:, None], jnp.asarray([[i]], jnp.int32), key
         )
-    t.block_until_ready()
+    np.asarray(t)  # drain the pipeline
     dt = time.perf_counter() - start
 
     toks_per_s = DECODE_TOKENS / dt

@@ -137,26 +137,46 @@ def forward_hidden(
 
     stacked = params["layers"]
 
+    paged = isinstance(kv_cache, tuple) and len(kv_cache) == 2 and hasattr(
+        kv_cache[0], "k_pool"
+    )
+    page_tables = kv_cache[1] if paged else None
+
     def scan_body(x, per_layer):
         layer_params, kc, vc, slide = per_layer
-        cache = L.KVLayerCache(kc, vc) if kv_cache is not None else None
+        if paged:
+            cache = L.PagedLayerCache(kc, vc, page_tables)
+        elif kv_cache is not None:
+            cache = L.KVLayerCache(kc, vc)
+        else:
+            cache = None
         # sliding window must be static for mask shapes; it is an int array
         # but used only in comparisons so tracing is fine
         sw = jnp.where(slide > 0, slide, jnp.iinfo(jnp.int32).max)
         x, cache = _block(x, layer_params, cfg, positions, cache, cos, sin, sw)
+        if paged:
+            return x, (cache.k_pool, cache.v_pool)
         if cache is not None:
             return x, (cache.k, cache.v)
         return x, (jnp.zeros((), dtype), jnp.zeros((), dtype))
 
+    if paged:
+        pools = kv_cache[0]
+        kc, vc = pools.k_pool, pools.v_pool
+    elif kv_cache is not None:
+        kc, vc = kv_cache.k, kv_cache.v
+    else:
+        kc = vc = jnp.zeros((cfg.n_layers,))
+
     if layer_range is not None:
         lo, hi = layer_range
         stacked = jax.tree.map(lambda a: a[lo:hi], stacked)
-        kc = kv_cache.k[lo:hi] if kv_cache is not None else jnp.zeros((hi - lo,))
-        vc = kv_cache.v[lo:hi] if kv_cache is not None else jnp.zeros((hi - lo,))
+        if kv_cache is not None:
+            kc, vc = kc[lo:hi], vc[lo:hi]
+        else:
+            kc = vc = jnp.zeros((hi - lo,))
         slide = jnp.asarray(sliding[lo:hi])
     else:
-        kc = kv_cache.k if kv_cache is not None else jnp.zeros((cfg.n_layers,))
-        vc = kv_cache.v if kv_cache is not None else jnp.zeros((cfg.n_layers,))
         slide = jnp.asarray(sliding)
 
     x, (new_k, new_v) = jax.lax.scan(scan_body, x, (stacked, kc, vc, slide))
@@ -165,10 +185,17 @@ def forward_hidden(
     if kv_cache is not None:
         if layer_range is not None:
             lo, hi = layer_range
-            new_cache = KVCache(
-                jax.lax.dynamic_update_slice_in_dim(kv_cache.k, new_k, lo, 0),
-                jax.lax.dynamic_update_slice_in_dim(kv_cache.v, new_v, lo, 0),
+            full_k, full_v = (
+                (kv_cache[0].k_pool, kv_cache[0].v_pool)
+                if paged
+                else (kv_cache.k, kv_cache.v)
             )
+            new_k = jax.lax.dynamic_update_slice_in_dim(full_k, new_k, lo, 0)
+            new_v = jax.lax.dynamic_update_slice_in_dim(full_v, new_v, lo, 0)
+        if paged:
+            from ..kv.paged import PagedKVState
+
+            new_cache = (PagedKVState(new_k, new_v), page_tables)
         else:
             new_cache = KVCache(new_k, new_v)
     return x, new_cache

@@ -82,6 +82,14 @@ class KVLayerCache(NamedTuple):
     v: jnp.ndarray  # [B, n_kv, S, hd]
 
 
+class PagedLayerCache(NamedTuple):
+    """One layer's slice of the paged pool + the batch's page tables."""
+
+    k_pool: jnp.ndarray  # [n_pages, ps, n_kv, hd]
+    v_pool: jnp.ndarray
+    page_tables: jnp.ndarray  # [B, P] int32
+
+
 def attention_scores_mask(
     q_positions: jnp.ndarray,  # [B, T] absolute positions of the query tokens
     kv_len: int,
@@ -158,7 +166,31 @@ def self_attention_block(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    # cache layout [B, n_kv, S, hd]
+    if isinstance(cache, PagedLayerCache):
+        from ..kv.paged import write_kv_layer, gather_kv_layer
+
+        k_pool, v_pool = write_kv_layer(
+            cache.k_pool, cache.v_pool, k, v, cache.page_tables, positions
+        )
+        cache = PagedLayerCache(k_pool, v_pool, cache.page_tables)
+        k_gath, v_gath = gather_kv_layer(k_pool, v_pool, cache.page_tables)
+        k_att = k_gath.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
+        v_att = v_gath.transpose(0, 2, 1, 3)
+        kv_len = k_att.shape[2]
+
+        if cfg.attention_multiplier is not None:
+            scale = cfg.attention_multiplier
+        elif cfg.query_pre_attn_scalar is not None:
+            scale = cfg.query_pre_attn_scalar**-0.5
+        else:
+            scale = hd**-0.5
+        mask = attention_scores_mask(positions, kv_len, cfg.causal, sliding_window)
+        out = multi_head_attention(q, k_att, v_att, mask, scale, cfg.attn_logit_softcap)
+        out = out.reshape(B, T, cfg.n_heads * hd)
+        out = linear(out, params["wo"], params.get("wo.bias"))
+        return out, cache
+
+    # dense cache layout [B, n_kv, S, hd]
     k_new = k.transpose(0, 2, 1, 3)
     v_new = v.transpose(0, 2, 1, 3)
     if cache is not None:
