@@ -83,31 +83,39 @@ def main():
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def decode_step(params, cache, token, position, key):
-        hidden, cache = forward_hidden(
-            params, cfg, token, position, cache, dtype=jnp.bfloat16
+    # fused multi-token decode: the whole loop is ONE device program, so the
+    # measurement excludes host dispatch latency (which, through the remote
+    # tunnel used in this environment, would otherwise dominate)
+    @partial(jax.jit, donate_argnums=(1,), static_argnums=(4,))
+    def decode_n(params, cache, token, start_pos, n):
+        def body(i, carry):
+            tok, cache, key = carry
+            key, sub = jax.random.split(key)
+            hidden, cache = forward_hidden(
+                params, cfg, tok, start_pos + i, cache, dtype=jnp.bfloat16
+            )
+            logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
+            nxt = sample_token(logits, sub, 0.0)
+            return nxt[:, None], cache, key
+
+        tok, cache, _ = jax.lax.fori_loop(
+            0, n, body, (token, cache, jax.random.PRNGKey(0))
         )
-        logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
-        tok = sample_token(logits, key, 0.0)
         return tok, cache
 
     import numpy as np
 
-    key = jax.random.PRNGKey(0)
     tok = jnp.asarray([[1]], jnp.int32)
+    pos0 = jnp.asarray([[0]], jnp.int32)
 
     # warmup/compile; np.asarray forces a REAL device sync (on the axon
     # remote platform block_until_ready returns before execution completes)
-    t, cache = decode_step(params, cache, tok, jnp.asarray([[0]], jnp.int32), key)
+    t, cache = decode_n(params, cache, tok, pos0, 2)
     np.asarray(t)
 
     start = time.perf_counter()
-    for i in range(1, DECODE_TOKENS + 1):
-        t, cache = decode_step(
-            params, cache, t[:, None], jnp.asarray([[i]], jnp.int32), key
-        )
-    np.asarray(t)  # drain the pipeline
+    t, cache = decode_n(params, cache, t, pos0 + 2, DECODE_TOKENS)
+    np.asarray(t)
     dt = time.perf_counter() - start
 
     toks_per_s = DECODE_TOKENS / dt

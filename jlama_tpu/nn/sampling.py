@@ -18,33 +18,38 @@ def sample_token(
     key: jax.Array,
     temperature: float | jnp.ndarray = 0.0,
     top_k: int = 0,
-    top_p: float = 1.0,
+    top_p: float | jnp.ndarray = 1.0,
 ) -> jnp.ndarray:
     """Sample one token per row. Returns [B] int32.
 
-    temperature may be a traced scalar; 0 → greedy (argmax).
+    temperature/top_p may be traced scalars OR per-row [B] arrays (for
+    continuous batching where each sequence carries its own sampling
+    params); temperature 0 → greedy (argmax) for that row.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    temp = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    temperature = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (logits.shape[0],)
+    )
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (logits.shape[0],))
+
+    temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
 
     if top_k and top_k > 0:
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
 
-    if top_p < 1.0:
-        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens until cumulative prob exceeds top_p (always keep first)
-        cutoff_mask = cum - probs > top_p
-        cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits)
-        threshold = jnp.min(
-            jnp.where(jnp.isfinite(cutoff), cutoff, jnp.inf), axis=-1, keepdims=True
-        )
-        scaled = jnp.where(scaled < threshold, -jnp.inf, scaled)
+    # nucleus filtering (per-row p; rows with p >= 1 keep everything)
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_mask = cum - probs > top_p[:, None]  # always keeps the first token
+    cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits)
+    threshold = jnp.min(
+        jnp.where(jnp.isfinite(cutoff), cutoff, jnp.inf), axis=-1, keepdims=True
+    )
+    scaled = jnp.where(scaled < threshold, -jnp.inf, scaled)
 
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
-    use_greedy = jnp.asarray(temperature, jnp.float32) == 0.0
-    return jnp.where(use_greedy, greedy, sampled)
+    return jnp.where(temperature == 0.0, greedy, sampled)

@@ -1,0 +1,288 @@
+"""Continuous batching scheduler over the paged KV cache.
+
+NEW capability beyond the reference (which serves one request at a time per
+model instance, SURVEY.md §2.6 "DP — NO"): a fixed-slot decode batch where
+sequences join as they arrive and leave as they finish, vLLM-style, built on
+jit-friendly static shapes:
+
+- decode: ONE jitted call per iteration over all B slots (empty slots run a
+  dummy sequence against the scratch page and are ignored on the host);
+- prefill: per-request bucketed call that writes the prompt's KV into that
+  sequence's pages, then the sequence joins the decode batch;
+- per-row sampling params (temperature/top_p) ride through the batch.
+
+Host-side bookkeeping (requests, pages, slots) mirrors the reference's
+session map; the device only ever sees pools + page tables + id arrays.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..kv.paged import PagedKVCache, PagedKVState
+from ..models.base import forward_hidden, lm_logits
+from ..nn.sampling import sample_token
+from .engine import FinishReason, Response, _bucket
+
+
+class RequestState(str, Enum):
+    QUEUED = "QUEUED"
+    RUNNING = "RUNNING"
+    DONE = "DONE"
+
+
+@dataclass
+class GenRequest:
+    prompt_ids: list[int]
+    max_new_tokens: int = 256
+    temperature: float = 0.0
+    top_p: float = 1.0
+    stop_ids: set[int] = field(default_factory=set)
+    on_token: Callable[[int], None] | None = None
+    id: str = field(default_factory=lambda: str(uuid.uuid4()))
+
+    # filled by the scheduler
+    state: RequestState = RequestState.QUEUED
+    out_ids: list[int] = field(default_factory=list)
+    finish: FinishReason | None = None
+    position: int = 0
+    cur_token: int = 0
+    slot: int = -1
+    t_start: float = 0.0
+    t_first: float = 0.0
+    t_done: float = 0.0
+    done_event: threading.Event = field(default_factory=threading.Event)
+
+    def to_response(self, tokenizer=None) -> Response:
+        text = ""
+        if tokenizer is not None:
+            visible = [t for t in self.out_ids if t not in self.stop_ids]
+            text = tokenizer.decode(visible)
+        return Response(
+            response_text=text,
+            response_text_with_special_tokens=(
+                tokenizer.decode(self.out_ids, skip_special=False)
+                if tokenizer
+                else ""
+            ),
+            finish_reason=self.finish or FinishReason.ERROR,
+            prompt_tokens=len(self.prompt_ids),
+            generated_tokens=len(self.out_ids),
+            prompt_time_ms=(self.t_first - self.t_start) * 1000,
+            generate_time_ms=(self.t_done - self.t_first) * 1000,
+            token_ids=list(self.out_ids),
+        )
+
+
+class BatchScheduler:
+    def __init__(
+        self,
+        params: dict,
+        cfg: ModelConfig,
+        tokenizer=None,
+        n_slots: int = 8,
+        n_pages: int = 512,
+        page_size: int = 64,
+        max_seq_len: int | None = None,
+        kv_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.n_slots = n_slots
+        max_seq = min(max_seq_len or cfg.context_length, cfg.context_length)
+        self.max_seq_len = max_seq
+        self.kv = PagedKVCache(
+            cfg,
+            n_pages=n_pages,
+            page_size=page_size,
+            max_pages_per_seq=-(-max_seq // page_size),
+            dtype=kv_dtype,
+        )
+        self.slots: list[GenRequest | None] = [None] * n_slots
+        self.pending: queue.Queue[GenRequest] = queue.Queue()
+        self.key = jax.random.PRNGKey(seed)
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: threading.Thread | None = None
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _prefill(params, state: PagedKVState, tokens, positions, pt):
+            _, cache = forward_hidden(
+                params, cfg, tokens, positions, (state, pt), dtype=compute_dtype
+            )
+            return cache[0]
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _decode(params, state: PagedKVState, tokens, positions, pts, key,
+                    temps, top_ps):
+            hidden, cache = forward_hidden(
+                params, cfg, tokens, positions, (state, pts), dtype=compute_dtype
+            )
+            logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
+            toks = sample_token(logits, key, temps, top_p=top_ps)
+            return toks, cache[0]
+
+        self._prefill = _prefill
+        self._decode = _decode
+
+    # ------------------------------------------------------------------
+
+    def submit(self, req: GenRequest) -> GenRequest:
+        req.t_start = time.perf_counter()
+        self.pending.put(req)
+        return req
+
+    def generate(self, prompt_ids: list[int], **kw) -> Response:
+        """Blocking submit+wait (runs the loop inline if not started)."""
+        req = GenRequest(prompt_ids=list(prompt_ids), **kw)
+        self.submit(req)
+        if self._running:
+            req.done_event.wait()
+        else:
+            while req.state != RequestState.DONE:
+                self.step()
+        return req.to_response(self.tokenizer)
+
+    # ------------------------------------------------------------------
+
+    def _admit(self) -> None:
+        for i in range(self.n_slots):
+            if self.slots[i] is not None:
+                continue
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            n = len(req.prompt_ids)
+            if n == 0 or n >= self.max_seq_len:
+                req.finish = FinishReason.ERROR
+                req.state = RequestState.DONE
+                req.done_event.set()
+                continue
+            ps = self.kv.page_size
+            try:
+                self.kv.alloc.ensure_capacity(req.id, n, ps)
+            except MemoryError:
+                self.pending.put(req)  # retry when pages free up
+                return
+            # prefill all but the last prompt token (bucketed)
+            if n > 1:
+                ctx = req.prompt_ids[:-1]
+                bucket = _bucket(len(ctx))
+                room = self.kv.max_pages_per_seq * ps
+                if bucket > room:
+                    bucket = len(ctx)
+                self.kv.alloc.ensure_capacity(req.id, min(bucket, room), ps)
+                toks = np.zeros((1, bucket), dtype=np.int32)
+                toks[0, : len(ctx)] = ctx
+                pos = np.arange(bucket, dtype=np.int32)[None, :]
+                pt = jnp.asarray(self.kv.page_table([req.id]))
+                self.kv.state = self._prefill(
+                    self.params, self.kv.state, jnp.asarray(toks),
+                    jnp.asarray(pos), pt,
+                )
+            req.position = n - 1
+            req.cur_token = req.prompt_ids[-1]
+            req.slot = i
+            req.state = RequestState.RUNNING
+            req.t_first = time.perf_counter()
+            self.slots[i] = req
+
+    def _finish(self, req: GenRequest, reason: FinishReason) -> None:
+        req.finish = reason
+        req.state = RequestState.DONE
+        req.t_done = time.perf_counter()
+        self.kv.alloc.release(req.id)
+        self.slots[req.slot] = None
+        req.slot = -1
+        req.done_event.set()
+
+    def step(self) -> int:
+        """One scheduler iteration. Returns number of active sequences."""
+        self._admit()
+        active = [r for r in self.slots if r is not None]
+        if not active:
+            return 0
+
+        B = self.n_slots
+        ps = self.kv.page_size
+        tokens = np.zeros((B, 1), dtype=np.int32)
+        positions = np.zeros((B, 1), dtype=np.int32)
+        temps = np.zeros(B, dtype=np.float32)
+        top_ps = np.ones(B, dtype=np.float32)
+        seq_ids = ["__empty__"] * B
+        for r in self.slots:
+            if r is None:
+                continue
+            # make sure the page holding `position` exists before the write
+            self.kv.alloc.ensure_capacity(r.id, r.position + 1, ps)
+            tokens[r.slot, 0] = r.cur_token
+            positions[r.slot, 0] = r.position
+            temps[r.slot] = r.temperature
+            top_ps[r.slot] = r.top_p
+            seq_ids[r.slot] = r.id
+
+        pts = jnp.asarray(self.kv.page_table(seq_ids))
+        self.key, sub = jax.random.split(self.key)
+        toks, self.kv.state = self._decode(
+            self.params, self.kv.state, jnp.asarray(tokens),
+            jnp.asarray(positions), pts, sub, jnp.asarray(temps),
+            jnp.asarray(top_ps),
+        )
+        toks_host = np.asarray(toks)
+
+        for r in list(self.slots):
+            if r is None:
+                continue
+            nxt = int(toks_host[r.slot])
+            r.position += 1
+            r.cur_token = nxt
+            r.out_ids.append(nxt)
+            stops = r.stop_ids or set(self.cfg.eos_token_ids)
+            if nxt in stops:
+                self._finish(r, FinishReason.STOP_TOKEN)
+            elif len(r.out_ids) >= r.max_new_tokens:
+                self._finish(r, FinishReason.MAX_TOKENS)
+            elif r.position + 1 >= self.max_seq_len:
+                self._finish(r, FinishReason.MAX_TOKENS)
+            elif r.on_token is not None:
+                r.on_token(nxt)
+        return len([r for r in self.slots if r is not None])
+
+    # ------------------------------------------------------------------
+
+    def start(self) -> None:
+        """Run the scheduling loop on a background thread (serving mode)."""
+        if self._running:
+            return
+        self._running = True
+
+        def loop():
+            while self._running:
+                n = self.step()
+                if n == 0 and self.pending.empty():
+                    time.sleep(0.001)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

@@ -1,0 +1,93 @@
+"""Continuous batching scheduler tests: parity with the single-stream engine."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tests.helpers import make_tiny_llama
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tiny_llama_sched")
+    model_dir, _ = make_tiny_llama(tmp)
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.runtime.engine import Engine
+    from jlama_tpu.runtime.scheduler import BatchScheduler
+
+    params, cfg = load_params(model_dir, float_dtype=jnp.float32)
+    eng = Engine(params, cfg, max_seq_len=64, kv_dtype=jnp.float32,
+                 compute_dtype=jnp.float32)
+    sched = BatchScheduler(
+        params, cfg, n_slots=4, n_pages=64, page_size=8, max_seq_len=64,
+        kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    return eng, sched
+
+
+def test_scheduler_matches_engine_greedy(setup):
+    eng, sched = setup
+    prompt = [1, 5, 9, 42, 7]
+    ref = eng.generate_tokens(prompt, max_new_tokens=8, temperature=0.0)
+    got = sched.generate(prompt, max_new_tokens=8, temperature=0.0)
+    assert got.token_ids == ref.token_ids
+    assert got.finish_reason == ref.finish_reason
+
+
+def test_concurrent_requests_interleave(setup):
+    eng, sched = setup
+    from jlama_tpu.runtime.scheduler import GenRequest, RequestState
+
+    prompts = [[1, 5, 9], [1, 7, 30, 12], [1, 2], [1, 44, 17, 80, 3]]
+    refs = [
+        eng.generate_tokens(p, max_new_tokens=6, temperature=0.0,
+                            session_id=f"ref{i}").token_ids
+        for i, p in enumerate(prompts)
+    ]
+    reqs = [
+        GenRequest(prompt_ids=p, max_new_tokens=6, temperature=0.0)
+        for p in prompts
+    ]
+    for r in reqs:
+        sched.submit(r)
+    for _ in range(100):
+        if all(r.state == RequestState.DONE for r in reqs):
+            break
+        sched.step()
+    for r, ref in zip(reqs, refs):
+        assert r.state == RequestState.DONE
+        assert r.out_ids == ref
+
+
+def test_slot_reuse_and_page_release(setup):
+    _, sched = setup
+    free_before = sched.kv.alloc.n_free
+    for _ in range(6):  # more requests than slots, sequentially
+        resp = sched.generate([1, 9, 13], max_new_tokens=3, temperature=0.0)
+        assert resp.generated_tokens >= 1
+    assert sched.kv.alloc.n_free == free_before  # all pages returned
+    assert all(s is None for s in sched.slots)
+
+
+def test_late_arrival_joins_running_batch(setup):
+    eng, sched = setup
+    from jlama_tpu.runtime.scheduler import GenRequest, RequestState
+
+    a = GenRequest(prompt_ids=[1, 5, 9], max_new_tokens=10, temperature=0.0)
+    b = GenRequest(prompt_ids=[1, 7, 30], max_new_tokens=5, temperature=0.0)
+    ref_a = eng.generate_tokens([1, 5, 9], max_new_tokens=10, temperature=0.0,
+                                session_id="late_a").token_ids
+    ref_b = eng.generate_tokens([1, 7, 30], max_new_tokens=5, temperature=0.0,
+                                session_id="late_b").token_ids
+    sched.submit(a)
+    sched.step()  # a decodes alone
+    sched.step()
+    sched.submit(b)  # b joins mid-flight
+    for _ in range(50):
+        if a.state == RequestState.DONE and b.state == RequestState.DONE:
+            break
+        sched.step()
+    assert a.out_ids == ref_a
+    assert b.out_ids == ref_b
