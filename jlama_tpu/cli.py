@@ -1,0 +1,264 @@
+"""jlama-tpu CLI.
+
+Parity with the reference's picocli surface
+(/root/reference/jlama-cli/.../JlamaCli.java:47-65): chat, complete, serve
+(restapi), download, quantize, list, rm, version — plus TPU-specific flags
+(mesh shape, dtypes). `JLAMA_MODEL_HOME` selects the model directory root.
+
+Usage: python -m jlama_tpu.cli <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import uuid
+from pathlib import Path
+
+
+def _resolve_model(name: str) -> Path:
+    from .hub import default_model_home, model_dir_name
+
+    p = Path(name)
+    if p.exists():
+        return p
+    home = default_model_home()
+    for cand in (home / name, home / model_dir_name(name)):
+        if cand.exists():
+            return cand
+    raise SystemExit(f"model not found: {name} (looked in {home})")
+
+
+def _load_engine(args, for_serving: bool = False):
+    import jax.numpy as jnp
+
+    from .models.loader import load_params
+    from .tokenizers import load_tokenizer
+
+    model_dir = _resolve_model(args.model)
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.working_dtype]
+    params, cfg = load_params(model_dir, float_dtype=dtype)
+    if getattr(args, "use_pallas", False):
+        from .ops.pallas_q4 import prepare_params_for_pallas
+
+        params = prepare_params_for_pallas(params)
+    tokenizer = load_tokenizer(model_dir)
+    return params, cfg, tokenizer, model_dir
+
+
+def cmd_chat(args) -> None:
+    from .prompt import PromptBuilder
+    from .runtime.engine import Engine
+
+    params, cfg, tokenizer, _ = _load_engine(args)
+    eng = Engine(params, cfg, tokenizer, max_seq_len=args.context)
+    session = str(uuid.uuid4())
+    print("Chatting (ctrl-d to exit)")
+    first = True
+    while True:
+        try:
+            user = input("> ")
+        except EOFError:
+            break
+        if not user.strip():
+            continue
+        b = PromptBuilder(tokenizer.spec)
+        if first and args.system:
+            b.add_system(args.system)
+        b.add_user(user)
+        prompt = b.build().prompt
+        ids = tokenizer.encode(prompt)
+        out: list[str] = []
+
+        def stream(tok, ms):
+            text = tokenizer.decode([tok])
+            out.append(text)
+            print(text, end="", flush=True)
+
+        resp = eng.generate_tokens(
+            ids,
+            max_new_tokens=args.max_tokens,
+            temperature=args.temperature,
+            top_p=args.top_p,
+            session_id=session,
+            on_token=stream,
+        )
+        print(
+            f"\n[{resp.generated_tokens} tokens, "
+            f"{resp.generate_time_ms / max(resp.generated_tokens, 1):.0f} ms/token]"
+        )
+        first = False
+
+
+def cmd_complete(args) -> None:
+    from .runtime.engine import Engine
+
+    params, cfg, tokenizer, _ = _load_engine(args)
+    eng = Engine(params, cfg, tokenizer, max_seq_len=args.context)
+    ids = tokenizer.encode(args.prompt)
+    resp = eng.generate_tokens(
+        ids,
+        max_new_tokens=args.max_tokens,
+        temperature=args.temperature,
+        top_p=args.top_p,
+    )
+    print(args.prompt + resp.response_text)
+    print(
+        f"\n[prompt {resp.prompt_tokens} tok {resp.prompt_time_ms:.0f} ms; "
+        f"generated {resp.generated_tokens} tok "
+        f"{resp.generate_time_ms:.0f} ms]",
+        file=sys.stderr,
+    )
+
+
+def cmd_serve(args) -> None:
+    from .runtime.scheduler import BatchScheduler
+    from .server.openai_api import OpenAIServer
+
+    params, cfg, tokenizer, model_dir = _load_engine(args, for_serving=True)
+    sched = BatchScheduler(
+        params,
+        cfg,
+        tokenizer,
+        n_slots=args.batch_slots,
+        n_pages=args.kv_pages,
+        page_size=args.page_size,
+        max_seq_len=args.context,
+    )
+    server = OpenAIServer(sched, tokenizer, model_name=model_dir.name)
+    print(f"Serving {model_dir.name} on http://{args.host}:{args.port}")
+    server.run(host=args.host, port=args.port)
+
+
+def cmd_download(args) -> None:
+    from .hub import download_model
+
+    def progress(name, done, total):
+        pct = 100 * done // max(total, 1)
+        print(f"\r{name}: {pct}% ({done // (1 << 20)} MiB)", end="", flush=True)
+
+    out = download_model(
+        args.model, branch=args.branch, token=args.auth_token, progress=progress
+    )
+    print(f"\nDownloaded to {out}")
+
+
+def cmd_quantize(args) -> None:
+    from .quant.quantizer import quantize_model
+
+    model_dir = _resolve_model(args.model)
+
+    def progress(name, i, n):
+        print(f"\r[{i}/{n}] {name[:60]:60s}", end="", flush=True)
+
+    out = quantize_model(
+        model_dir,
+        out_dir=args.output,
+        quantize_to=args.quantize_to,
+        skip_prefixes=tuple(args.skip_prefix or ()),
+        drop_prefixes=tuple(args.drop_prefix or ()),
+        progress=progress,
+    )
+    print(f"\nQuantized model written to {out}")
+
+
+def cmd_list(args) -> None:
+    from .hub import default_model_home, list_models
+
+    for name in list_models():
+        print(name)
+    if not list_models():
+        print(f"(no models in {default_model_home()})", file=sys.stderr)
+
+
+def cmd_rm(args) -> None:
+    from .hub import default_model_home, model_dir_name
+
+    home = default_model_home()
+    for cand in (home / args.model, home / model_dir_name(args.model)):
+        if cand.exists():
+            shutil.rmtree(cand)
+            print(f"Removed {cand}")
+            return
+    raise SystemExit(f"model not found: {args.model}")
+
+
+def cmd_version(args) -> None:
+    from . import __version__
+
+    print(f"jlama-tpu {__version__}")
+
+
+def _add_model_opts(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", help="model directory or HF id (under model home)")
+    p.add_argument("--working-dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--context", type=int, default=4096)
+    p.add_argument("--use-pallas", action="store_true",
+                   help="use the fused Pallas q4 kernels for quantized weights")
+
+
+def _add_gen_opts(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--max-tokens", type=int, default=512)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="jlama-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("chat", help="interactive chat with KV session reuse")
+    _add_model_opts(p)
+    _add_gen_opts(p)
+    p.add_argument("--system", default=None)
+    p.set_defaults(fn=cmd_chat)
+
+    p = sub.add_parser("complete", help="one-shot text completion")
+    _add_model_opts(p)
+    _add_gen_opts(p)
+    p.add_argument("prompt")
+    p.set_defaults(fn=cmd_complete)
+
+    p = sub.add_parser("serve", help="OpenAI-compatible REST API server")
+    _add_model_opts(p)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch-slots", type=int, default=8)
+    p.add_argument("--kv-pages", type=int, default=512)
+    p.add_argument("--page-size", type=int, default=64)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("download", help="download a model from HuggingFace")
+    p.add_argument("model")
+    p.add_argument("--branch", default="main")
+    p.add_argument("--auth-token", default=None)
+    p.set_defaults(fn=cmd_download)
+
+    p = sub.add_parser("quantize", help="offline quantization to JQ4/I8")
+    p.add_argument("model")
+    p.add_argument("--output", default=None)
+    p.add_argument("--quantize-to", choices=["q4", "i8"], default="q4")
+    p.add_argument("--skip-prefix", action="append")
+    p.add_argument("--drop-prefix", action="append")
+    p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("list", help="list downloaded models")
+    p.set_defaults(fn=cmd_list)
+
+    p = sub.add_parser("rm", help="remove a downloaded model")
+    p.add_argument("model")
+    p.set_defaults(fn=cmd_rm)
+
+    p = sub.add_parser("version", help="print version")
+    p.set_defaults(fn=cmd_version)
+    return ap
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

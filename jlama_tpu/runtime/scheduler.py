@@ -51,6 +51,7 @@ class GenRequest:
     top_p: float = 1.0
     stop_ids: set[int] = field(default_factory=set)
     on_token: Callable[[int], None] | None = None
+    session_id: str | None = None  # KV affinity (X-Jlama-Session semantics)
     id: str = field(default_factory=lambda: str(uuid.uuid4()))
 
     # filled by the scheduler
@@ -115,6 +116,10 @@ class BatchScheduler:
         )
         self.slots: list[GenRequest | None] = [None] * n_slots
         self.pending: queue.Queue[GenRequest] = queue.Queue()
+        # session resume state: session_id -> (position, pending_token)
+        # pages stay allocated under the session's kv key between requests
+        # (cf. KvBufferCache session map + Coordinator.sessionPositions)
+        self.session_state: dict[str, tuple[int, int | None]] = {}
         self.key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._running = False
@@ -160,6 +165,9 @@ class BatchScheduler:
 
     # ------------------------------------------------------------------
 
+    def _kv_key(self, req: GenRequest) -> str:
+        return req.session_id or req.id
+
     def _admit(self) -> None:
         for i in range(self.n_slots):
             if self.slots[i] is not None:
@@ -168,36 +176,49 @@ class BatchScheduler:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
-            n = len(req.prompt_ids)
-            if n == 0 or n >= self.max_seq_len:
+
+            # session resume: prepend the pending (sampled-but-unforwarded)
+            # token and continue from the stored position
+            prompt_ids = list(req.prompt_ids)
+            start_pos = 0
+            if req.session_id and req.session_id in self.session_state:
+                start_pos, pending_tok = self.session_state[req.session_id]
+                if pending_tok is not None:
+                    prompt_ids = [pending_tok] + prompt_ids
+
+            n = len(prompt_ids)
+            if n == 0 or start_pos + n >= self.max_seq_len:
                 req.finish = FinishReason.ERROR
                 req.state = RequestState.DONE
                 req.done_event.set()
                 continue
             ps = self.kv.page_size
+            key = self._kv_key(req)
             try:
-                self.kv.alloc.ensure_capacity(req.id, n, ps)
+                self.kv.alloc.ensure_capacity(key, start_pos + n, ps)
             except MemoryError:
                 self.pending.put(req)  # retry when pages free up
                 return
             # prefill all but the last prompt token (bucketed)
             if n > 1:
-                ctx = req.prompt_ids[:-1]
+                ctx = prompt_ids[:-1]
                 bucket = _bucket(len(ctx))
-                room = self.kv.max_pages_per_seq * ps
+                room = self.kv.max_pages_per_seq * ps - start_pos
                 if bucket > room:
                     bucket = len(ctx)
-                self.kv.alloc.ensure_capacity(req.id, min(bucket, room), ps)
+                self.kv.alloc.ensure_capacity(key, start_pos + bucket, ps)
                 toks = np.zeros((1, bucket), dtype=np.int32)
                 toks[0, : len(ctx)] = ctx
-                pos = np.arange(bucket, dtype=np.int32)[None, :]
-                pt = jnp.asarray(self.kv.page_table([req.id]))
+                pos = np.arange(start_pos, start_pos + bucket, dtype=np.int32)[
+                    None, :
+                ]
+                pt = jnp.asarray(self.kv.page_table([key]))
                 self.kv.state = self._prefill(
                     self.params, self.kv.state, jnp.asarray(toks),
                     jnp.asarray(pos), pt,
                 )
-            req.position = n - 1
-            req.cur_token = req.prompt_ids[-1]
+            req.position = start_pos + n - 1
+            req.cur_token = prompt_ids[-1]
             req.slot = i
             req.state = RequestState.RUNNING
             req.t_first = time.perf_counter()
@@ -207,10 +228,18 @@ class BatchScheduler:
         req.finish = reason
         req.state = RequestState.DONE
         req.t_done = time.perf_counter()
-        self.kv.alloc.release(req.id)
+        if req.session_id:
+            # keep the session's pages; remember where to resume
+            self.session_state[req.session_id] = (req.position, req.cur_token)
+        else:
+            self.kv.alloc.release(self._kv_key(req))
         self.slots[req.slot] = None
         req.slot = -1
         req.done_event.set()
+
+    def drop_session(self, session_id: str) -> None:
+        self.session_state.pop(session_id, None)
+        self.kv.alloc.release(session_id)
 
     def step(self) -> int:
         """One scheduler iteration. Returns number of active sequences."""
@@ -230,12 +259,13 @@ class BatchScheduler:
             if r is None:
                 continue
             # make sure the page holding `position` exists before the write
-            self.kv.alloc.ensure_capacity(r.id, r.position + 1, ps)
+            key = self._kv_key(r)
+            self.kv.alloc.ensure_capacity(key, r.position + 1, ps)
             tokens[r.slot, 0] = r.cur_token
             positions[r.slot, 0] = r.position
             temps[r.slot] = r.temperature
             top_ps[r.slot] = r.top_p
-            seq_ids[r.slot] = r.id
+            seq_ids[r.slot] = key
 
         pts = jnp.asarray(self.kv.page_table(seq_ids))
         self.key, sub = jax.random.split(self.key)

@@ -1,0 +1,343 @@
+"""OpenAI-compatible REST API (aiohttp).
+
+Parity with the reference's endpoint surface
+(/root/reference/jlama-net/.../openai/OpenAIChatService.java:40-172 and the
+3,176-line openai_spec.yaml):
+
+- POST /chat/completions (and /v1/chat/completions): messages → chat
+  template → generate; SSE streaming and non-streaming; tool definitions and
+  tool_call responses; `X-Jlama-Session` header for KV session affinity.
+- POST /v1/embeddings, GET /v1/models, GET /cluster/topology.
+
+Built on the continuous-batching scheduler, so concurrent chat requests share
+one decode batch (beyond the reference, which serializes requests).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+
+from aiohttp import web
+
+from ..prompt import PromptBuilder, Tool, Function, Parameters, extract_tool_calls
+from ..prompt.tools import ToolCall
+from ..runtime.engine import FinishReason
+from ..runtime.scheduler import BatchScheduler, GenRequest
+
+SESSION_HEADER = "X-Jlama-Session"
+
+
+def _openai_tools_to_internal(tools_json: list[dict] | None) -> list[Tool]:
+    tools = []
+    for t in tools_json or []:
+        fn = t.get("function", {})
+        params = fn.get("parameters", {}) or {}
+        p = Parameters(
+            properties=params.get("properties", {}) or {},
+            required=list(params.get("required", []) or []),
+        )
+        tools.append(
+            Tool.from_function(
+                Function(
+                    name=fn.get("name", ""),
+                    description=fn.get("description"),
+                    parameters=p,
+                )
+            )
+        )
+    return tools
+
+
+class OpenAIServer:
+    def __init__(
+        self,
+        scheduler: BatchScheduler,
+        tokenizer,
+        model_name: str = "jlama-tpu",
+    ):
+        self.sched = scheduler
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.app = web.Application()
+        self.app.router.add_post("/chat/completions", self.chat_completions)
+        self.app.router.add_post("/v1/chat/completions", self.chat_completions)
+        self.app.router.add_post("/v1/completions", self.completions)
+        self.app.router.add_post("/v1/embeddings", self.embeddings)
+        self.app.router.add_get("/v1/models", self.models)
+        self.app.router.add_get("/cluster/topology", self.topology)
+        self.app.router.add_get("/healthz", self.health)
+
+    # ------------------------------------------------------------------
+
+    def _render_prompt(self, body: dict) -> tuple[str, list[Tool]]:
+        tools = _openai_tools_to_internal(body.get("tools"))
+        builder = PromptBuilder(self.tokenizer.spec)
+        for m in body.get("messages", []):
+            role = m.get("role")
+            content = m.get("content") or ""
+            if isinstance(content, list):  # content parts
+                content = "".join(
+                    p.get("text", "") for p in content if p.get("type") == "text"
+                )
+            if role == "system":
+                builder.add_system(content)
+            elif role == "user":
+                builder.add_user(content)
+            elif role == "assistant":
+                if m.get("tool_calls"):
+                    for tc in m["tool_calls"]:
+                        fn = tc.get("function", {})
+                        try:
+                            args = json.loads(fn.get("arguments", "{}"))
+                        except json.JSONDecodeError:
+                            args = {}
+                        builder.add_tool_call(
+                            ToolCall(name=fn.get("name", ""), parameters=args,
+                                     id=tc.get("id"))
+                        )
+                else:
+                    builder.add_assistant(content)
+            elif role == "tool":
+                from ..prompt import ToolResult
+
+                builder.add_tool_result(
+                    ToolResult(result=content, name=m.get("name"),
+                               tool_call_id=m.get("tool_call_id"))
+                )
+        if tools:
+            builder.add_tools(*tools)
+        ctx = builder.build()
+        return ctx.prompt, tools
+
+    def _encode(self, prompt: str) -> list[int]:
+        return self.tokenizer.encode(prompt)
+
+    # ------------------------------------------------------------------
+
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        stream = bool(body.get("stream", False))
+        prompt, tools = self._render_prompt(body)
+        prompt_ids = self._encode(prompt)
+        temperature = float(body.get("temperature", 0.9) or 0.0)
+        max_tokens = int(
+            body.get("max_tokens") or body.get("max_completion_tokens") or 1024
+        )
+        top_p = float(body.get("top_p", 1.0) or 1.0)
+        rid = "chatcmpl-" + uuid.uuid4().hex[:24]
+        created = int(time.time())
+
+        loop = asyncio.get_running_loop()
+        token_q: asyncio.Queue = asyncio.Queue()
+
+        def on_token(tok: int) -> None:
+            loop.call_soon_threadsafe(token_q.put_nowait, tok)
+
+        session_id = request.headers.get(SESSION_HEADER)
+        req = GenRequest(
+            prompt_ids=prompt_ids,
+            max_new_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            on_token=on_token if stream else None,
+            session_id=session_id,
+        )
+        self.sched.submit(req)
+
+        if not stream:
+            await loop.run_in_executor(None, req.done_event.wait)
+            resp = req.to_response(self.tokenizer)
+            tool_calls = (
+                extract_tool_calls(resp.response_text, tools) if tools else []
+            )
+            finish = (
+                "tool_calls"
+                if tool_calls
+                else ("stop" if resp.finish_reason == FinishReason.STOP_TOKEN else "length")
+            )
+            message: dict = {"role": "assistant"}
+            if tool_calls:
+                message["content"] = None
+                message["tool_calls"] = [tc.to_dict() for tc in tool_calls]
+            else:
+                message["content"] = resp.response_text
+            return web.json_response(
+                {
+                    "id": rid,
+                    "object": "chat.completion",
+                    "created": created,
+                    "model": self.model_name,
+                    "choices": [
+                        {"index": 0, "message": message, "finish_reason": finish}
+                    ],
+                    "usage": {
+                        "prompt_tokens": resp.prompt_tokens,
+                        "completion_tokens": resp.generated_tokens,
+                        "total_tokens": resp.prompt_tokens + resp.generated_tokens,
+                    },
+                }
+            )
+
+        # SSE streaming (cf. OpenAIChatService.java:109-156)
+        sse = web.StreamResponse(
+            status=200,
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+            },
+        )
+        await sse.prepare(request)
+
+        async def send_chunk(delta: dict, finish_reason=None):
+            payload = {
+                "id": rid,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": self.model_name,
+                "choices": [
+                    {"index": 0, "delta": delta, "finish_reason": finish_reason}
+                ],
+            }
+            await sse.write(f"data: {json.dumps(payload)}\n\n".encode())
+
+        await send_chunk({"role": "assistant"})
+        stops = req.stop_ids or set(self.sched.cfg.eos_token_ids)
+        pending_ids: list[int] = []
+        emitted = 0
+        while True:
+            if req.done_event.is_set() and token_q.empty():
+                break
+            try:
+                tok = await asyncio.wait_for(token_q.get(), timeout=0.1)
+            except asyncio.TimeoutError:
+                continue
+            if tok in stops:
+                continue
+            pending_ids.append(tok)
+            text = self.tokenizer.decode(pending_ids)
+            if text and not text.endswith("�"):
+                await send_chunk({"content": text})
+                emitted += len(pending_ids)
+                pending_ids = []
+        # flush remaining (request finished; include tokens not yet streamed)
+        final_ids = [t for t in req.out_ids[emitted:] if t not in stops]
+        if final_ids:
+            text = self.tokenizer.decode(final_ids)
+            if text:
+                await send_chunk({"content": text})
+        finish = "stop" if req.finish == FinishReason.STOP_TOKEN else "length"
+        await send_chunk({}, finish_reason=finish)
+        await sse.write(b"data: [DONE]\n\n")
+        await sse.write_eof()
+        return sse
+
+    async def completions(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list):
+            prompt = prompt[0] if prompt else ""
+        prompt_ids = self._encode(prompt)
+        loop = asyncio.get_running_loop()
+        req = GenRequest(
+            prompt_ids=prompt_ids,
+            max_new_tokens=int(body.get("max_tokens", 128)),
+            temperature=float(body.get("temperature", 0.0) or 0.0),
+            top_p=float(body.get("top_p", 1.0) or 1.0),
+        )
+        self.sched.submit(req)
+        await loop.run_in_executor(None, req.done_event.wait)
+        resp = req.to_response(self.tokenizer)
+        return web.json_response(
+            {
+                "id": "cmpl-" + uuid.uuid4().hex[:24],
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": resp.response_text,
+                        "finish_reason": "stop"
+                        if resp.finish_reason == FinishReason.STOP_TOKEN
+                        else "length",
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": resp.prompt_tokens,
+                    "completion_tokens": resp.generated_tokens,
+                    "total_tokens": resp.prompt_tokens + resp.generated_tokens,
+                },
+            }
+        )
+
+    async def embeddings(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        inputs = body.get("input", [])
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        engine = getattr(self.sched, "embed_engine", None)
+        if engine is None:
+            raise web.HTTPNotImplemented(
+                text=json.dumps({"error": "no embedding engine attached"})
+            )
+        data = []
+        for i, text in enumerate(inputs):
+            vec = engine.embed(text, pooling=body.get("pooling", "AVG"))
+            data.append(
+                {"object": "embedding", "index": i, "embedding": vec.tolist()}
+            )
+        return web.json_response(
+            {"object": "list", "data": data, "model": self.model_name}
+        )
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.model_name,
+                        "object": "model",
+                        "created": 0,
+                        "owned_by": "jlama-tpu",
+                    }
+                ],
+            }
+        )
+
+    async def topology(self, request: web.Request) -> web.Response:
+        """Cluster topology (cf. net/grpc/TopologyService.java:47-93)."""
+        import jax
+
+        devices = [
+            {
+                "id": d.id,
+                "platform": d.platform,
+                "device_kind": getattr(d, "device_kind", "unknown"),
+                "process_index": d.process_index,
+            }
+            for d in jax.devices()
+        ]
+        return web.json_response(
+            {
+                "model": self.model_name,
+                "devices": devices,
+                "n_slots": self.sched.n_slots,
+                "active": sum(1 for s in self.sched.slots if s is not None),
+                "kv_pages_free": self.sched.kv.alloc.n_free,
+                "kv_pages_total": self.sched.kv.n_pages,
+            }
+        )
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    # ------------------------------------------------------------------
+
+    def run(self, host: str = "0.0.0.0", port: int = 8080) -> None:
+        self.sched.start()
+        web.run_app(self.app, host=host, port=port)

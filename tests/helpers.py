@@ -48,6 +48,60 @@ TINY_LLAMA_CONFIG = {
 }
 
 
+CHAT_TEMPLATE = (
+    "{% for message in messages %}<|{{ message['role'] }}|>"
+    "{{ message['content'] }}</s>{% endfor %}"
+    "{% if add_generation_prompt %}<|assistant|>{% endif %}"
+)
+
+
+def make_tiny_chat_model(tmp: Path, seed: int = 0):
+    """Tiny llama + trained BPE tokenizer + chat template: full serving stack."""
+    from tokenizers import Tokenizer as HFTok
+    from tokenizers.models import BPE
+    from tokenizers.trainers import BpeTrainer
+    from tokenizers import pre_tokenizers, decoders
+
+    tok = HFTok(BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = BpeTrainer(
+        vocab_size=384,
+        special_tokens=["<s>", "</s>", "<|user|>", "<|assistant|>", "<|system|>"],
+        show_progress=False,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    corpus = [
+        "Hello there, how are you today?",
+        "The weather is nice. Tell me a story about a fox.",
+        "What is the answer to life, the universe and everything?",
+    ]
+    tok.train_from_iterator(corpus * 10, trainer)
+    vocab_size = tok.get_vocab_size()
+
+    model_dir, hf = make_tiny_llama(
+        tmp,
+        config_overrides={
+            "vocab_size": vocab_size,
+            "bos_token_id": 0,
+            "eos_token_id": 1,
+        },
+        seed=seed,
+    )
+    tok.save(str(tmp / "tokenizer.json"))
+    (tmp / "tokenizer_config.json").write_text(
+        json.dumps(
+            {
+                "chat_template": CHAT_TEMPLATE,
+                "bos_token": "<s>",
+                "eos_token": "</s>",
+                "add_bos_token": False,
+            }
+        )
+    )
+    return model_dir, hf
+
+
 def make_tiny_llama(tmp: Path, config_overrides: dict | None = None, seed: int = 0):
     """Create a tiny random HF llama checkpoint; returns (dir, hf_model)."""
     import torch

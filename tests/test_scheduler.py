@@ -91,3 +91,35 @@ def test_late_arrival_joins_running_batch(setup):
         sched.step()
     assert a.out_ids == ref_a
     assert b.out_ids == ref_b
+
+
+def test_session_resume_matches_engine(setup):
+    eng, sched = setup
+    full = eng.generate_tokens([1, 3, 7, 12, 30, 44], max_new_tokens=5,
+                               temperature=0.0, session_id="sess_full")
+    sched2 = type(sched)(
+        sched.params, sched.cfg, n_slots=2, n_pages=64, page_size=8,
+        max_seq_len=64, kv_dtype=sched.kv.state.k_pool.dtype,
+        compute_dtype=sched.kv.state.k_pool.dtype,
+    )
+    r1 = sched2.generate([1, 3, 7], max_new_tokens=0, temperature=0.0)
+    # session-id based resume: first request seeds the session
+    from jlama_tpu.runtime.scheduler import GenRequest, RequestState
+
+    a = GenRequest(prompt_ids=[1, 3, 7], max_new_tokens=1, temperature=0.0,
+                   session_id="s1")
+    sched2.submit(a)
+    while a.state != RequestState.DONE:
+        sched2.step()
+    b = GenRequest(prompt_ids=[12, 30, 44], max_new_tokens=4, temperature=0.0,
+                   session_id="s1")
+    sched2.submit(b)
+    while b.state != RequestState.DONE:
+        sched2.step()
+    # engine equivalent: one-shot over the whole token stream
+    ref = eng.generate_tokens([1, 3, 7], max_new_tokens=1, temperature=0.0,
+                              session_id="eng_s1")
+    ref2 = eng.generate_tokens([12, 30, 44], max_new_tokens=4, temperature=0.0,
+                               session_id="eng_s1")
+    assert a.out_ids == ref.token_ids
+    assert b.out_ids == ref2.token_ids

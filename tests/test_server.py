@@ -1,0 +1,154 @@
+"""OpenAI-compatible REST API tests (model: reference ChatApiTest/MockedOpenAIServer)."""
+
+import asyncio
+import json
+
+import pytest
+import jax.numpy as jnp
+
+from tests.helpers import make_tiny_chat_model
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tiny_serve")
+    model_dir, _ = make_tiny_chat_model(tmp)
+
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.tokenizers import load_tokenizer
+    from jlama_tpu.runtime.scheduler import BatchScheduler
+    from jlama_tpu.server.openai_api import OpenAIServer
+
+    params, cfg = load_params(model_dir, float_dtype=jnp.float32)
+    tokenizer = load_tokenizer(model_dir)
+    sched = BatchScheduler(
+        params, cfg, tokenizer, n_slots=2, n_pages=64, page_size=8,
+        max_seq_len=96, kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    sched.start()
+    yield sched, tokenizer
+    sched.stop()
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+async def _with_client(server, fn):
+    """Build the app inside the running loop (aiohttp binds apps to loops)."""
+    from aiohttp.test_utils import TestClient, TestServer
+    from jlama_tpu.server.openai_api import OpenAIServer
+
+    sched, tokenizer = server
+    srv = OpenAIServer(sched, tokenizer, model_name="tiny-test")
+    async with TestClient(TestServer(srv.app)) as client:
+        return await fn(client)
+
+
+def test_chat_completion(server):
+    async def fn(client):
+        resp = await client.post(
+            "/v1/chat/completions",
+            json={
+                "model": "tiny-test",
+                "messages": [{"role": "user", "content": "Hello there"}],
+                "max_tokens": 8,
+                "temperature": 0,
+            },
+        )
+        assert resp.status == 200
+        return await resp.json()
+
+    body = _run(_with_client(server, fn))
+    assert body["object"] == "chat.completion"
+    assert body["choices"][0]["message"]["role"] == "assistant"
+    assert body["usage"]["completion_tokens"] >= 1
+    assert body["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_chat_streaming(server):
+    async def fn(client):
+        resp = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "Tell me a story"}],
+                "max_tokens": 6,
+                "temperature": 0,
+                "stream": True,
+            },
+        )
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        raw = await resp.text()
+        return raw
+
+    raw = _run(_with_client(server, fn))
+    events = [
+        json.loads(line[6:])
+        for line in raw.splitlines()
+        if line.startswith("data: ") and line != "data: [DONE]"
+    ]
+    assert raw.strip().endswith("data: [DONE]")
+    assert events[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert events[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    text = "".join(
+        e["choices"][0]["delta"].get("content", "") for e in events
+    )
+    assert isinstance(text, str)
+
+
+def test_completions_endpoint(server):
+    async def fn(client):
+        resp = await client.post(
+            "/v1/completions",
+            json={"prompt": "The quick", "max_tokens": 4, "temperature": 0},
+        )
+        assert resp.status == 200
+        return await resp.json()
+
+    body = _run(_with_client(server, fn))
+    assert body["object"] == "text_completion"
+    assert body["usage"]["completion_tokens"] >= 1
+
+
+def test_models_and_topology(server):
+    async def fn(client):
+        m = await (await client.get("/v1/models")).json()
+        t = await (await client.get("/cluster/topology")).json()
+        h = await (await client.get("/healthz")).json()
+        return m, t, h
+
+    m, t, h = _run(_with_client(server, fn))
+    assert m["data"][0]["id"] == "tiny-test"
+    assert t["n_slots"] == 2 and "devices" in t
+    assert h["status"] == "ok"
+
+
+def test_session_affinity_header(server):
+    async def fn(client):
+        r1 = await client.post(
+            "/v1/chat/completions",
+            headers={"X-Jlama-Session": "sess-42"},
+            json={
+                "messages": [{"role": "user", "content": "Hello"}],
+                "max_tokens": 3,
+                "temperature": 0,
+            },
+        )
+        assert r1.status == 200
+        r2 = await client.post(
+            "/v1/chat/completions",
+            headers={"X-Jlama-Session": "sess-42"},
+            json={
+                "messages": [{"role": "user", "content": "More"}],
+                "max_tokens": 3,
+                "temperature": 0,
+            },
+        )
+        assert r2.status == 200
+        return await r2.json()
+
+    body = _run(_with_client(server, fn))
+    assert body["usage"]["completion_tokens"] >= 1
