@@ -24,6 +24,7 @@ HBM_BW = float(os.environ.get("JLAMA_BENCH_HBM_BW", 819e9))
 
 DECODE_TOKENS = int(os.environ.get("JLAMA_BENCH_TOKENS", 128))
 QUANT = os.environ.get("JLAMA_BENCH_QUANT", "bf16")  # bf16 | q4
+UNROLL = os.environ.get("JLAMA_BENCH_UNROLL", "1") == "1"
 
 
 def init_params_device(cfg, dtype=jnp.bfloat16, quant: str = "bf16"):
@@ -80,6 +81,11 @@ def main():
     params = init_params_device(cfg, quant=QUANT)
     max_len = 2048
     cache = KVCache.init(cfg, 1, max_len, jnp.bfloat16)
+    if UNROLL:
+        from jlama_tpu.models.base import unstack_params, unstack_cache
+
+        params = unstack_params(params, cfg)
+        cache = unstack_cache(cache)
 
     from functools import partial
 

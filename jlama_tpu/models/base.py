@@ -142,6 +142,26 @@ def forward_hidden(
     )
     page_tables = kv_cache[1] if paged else None
 
+    if isinstance(stacked, (list, tuple)):
+        # UNROLLED path: params["layers"] is a per-layer list of dicts.
+        # Each weight is its own array, so matmuls/Pallas kernels read
+        # weights straight from HBM — no per-step dynamic-slice copy of the
+        # stacked [L, ...] array (which costs ~2x HBM traffic under scan).
+        # The KV cache is likewise a per-layer list of KVLayerCache (dense)
+        # or PagedLayerCache pools, updated in place.
+        lo, hi = layer_range if layer_range is not None else (0, cfg.n_layers)
+        cache_is_list = isinstance(kv_cache, list)
+        new_cache_list = list(kv_cache) if cache_is_list else None
+        for l in range(lo, hi):
+            cache_l = kv_cache[l] if cache_is_list else None
+            sw = int(sliding[l]) if sliding[l] > 0 else None
+            x, cache_l = _block(
+                x, stacked[l], cfg, positions, cache_l, cos, sin, sw
+            )
+            if cache_is_list:
+                new_cache_list[l] = cache_l
+        return x, new_cache_list
+
     def scan_body(x, per_layer):
         layer_params, kc, vc, slide = per_layer
         if paged:
@@ -199,6 +219,32 @@ def forward_hidden(
         else:
             new_cache = KVCache(new_k, new_v)
     return x, new_cache
+
+
+def unstack_params(params: dict, cfg: ModelConfig) -> dict:
+    """Convert stacked layer params to a per-layer list (one-time copy).
+
+    The unrolled forward path then reads each weight directly from its own
+    HBM buffer instead of dynamic-slicing the stacked array every step.
+    """
+    stacked = params["layers"]
+    if isinstance(stacked, (list, tuple)):
+        return params
+    layers = []
+    for l in range(cfg.n_layers):
+        layers.append({k: v[l] for k, v in stacked.items()})
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def unstack_cache(cache: KVCache) -> list:
+    """Stacked KVCache → per-layer list of KVLayerCache."""
+    from ..nn.layers import KVLayerCache
+
+    return [
+        KVLayerCache(cache.k[l], cache.v[l]) for l in range(cache.k.shape[0])
+    ]
 
 
 def final_hidden(params: dict, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
