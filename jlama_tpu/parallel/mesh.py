@@ -115,3 +115,17 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
     # QArray is a registered pytree node, so the shardings tree (QArray leaves
     # holding NamedShardings) pairs leaf-wise with the param tree.
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
+    """KV cache [L, B, n_kv, S, hd]: heads over tp, batch over dp.
+
+    Mirrors the reference's per-shard KV-head slice
+    (tensor/KvBufferCache.java:105-110).
+    """
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
+
+
+def shard_kv_cache(cache, mesh: Mesh):
+    s = kv_cache_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, s), cache)

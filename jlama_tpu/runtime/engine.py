@@ -80,13 +80,23 @@ class Engine:
         max_seq_len: int | None = None,
         kv_dtype=jnp.bfloat16,
         compute_dtype=jnp.bfloat16,
+        mesh=None,
     ):
-        self.params = params
+        """mesh: optional jax.sharding.Mesh — weights are TP/PP-sharded over
+        it (parallel.mesh rules) and the KV cache's head axis rides the tp
+        axis; GSPMD inserts the all-reduces the reference implements as the
+        `combine` RPC (net/grpc/JlamaService.java:300-376)."""
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_seq_len = min(max_seq_len or cfg.context_length, cfg.context_length)
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, cfg, mesh)
+        self.params = params
         self.sessions: dict[str, Session] = {}
 
         @partial(jax.jit, donate_argnums=(1,), static_argnums=())
@@ -129,9 +139,12 @@ class Engine:
     def get_session(self, session_id: str | None) -> tuple[str, Session]:
         sid = session_id or str(uuid.uuid4())
         if sid not in self.sessions:
-            self.sessions[sid] = Session(
-                cache=KVCache.init(self.cfg, 1, self.max_seq_len, self.kv_dtype)
-            )
+            cache = KVCache.init(self.cfg, 1, self.max_seq_len, self.kv_dtype)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_kv_cache
+
+                cache = shard_kv_cache(cache, self.mesh)
+            self.sessions[sid] = Session(cache=cache)
         return sid, self.sessions[sid]
 
     def drop_session(self, session_id: str) -> None:
