@@ -28,11 +28,16 @@ def sample_token(
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
+    # static fast path: pure greedy needs no sort/categorical at all — a
+    # full-vocab sort costs tens of ms per step on TPU, so it must only run
+    # when a filter is actually requested
+    static_greedy = isinstance(temperature, (int, float)) and temperature == 0.0
+    if static_greedy:
+        return greedy
+
     temperature = jnp.broadcast_to(
         jnp.asarray(temperature, jnp.float32), (logits.shape[0],)
     )
-    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (logits.shape[0],))
-
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
 
@@ -40,16 +45,23 @@ def sample_token(
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
 
-    # nucleus filtering (per-row p; rows with p >= 1 keep everything)
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    cutoff_mask = cum - probs > top_p[:, None]  # always keeps the first token
-    cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits)
-    threshold = jnp.min(
-        jnp.where(jnp.isfinite(cutoff), cutoff, jnp.inf), axis=-1, keepdims=True
-    )
-    scaled = jnp.where(scaled < threshold, -jnp.inf, scaled)
+    static_no_top_p = isinstance(top_p, (int, float)) and top_p >= 1.0
+    if not static_no_top_p:
+        # nucleus filtering (per-row p; rows with p >= 1 keep everything)
+        top_p = jnp.broadcast_to(
+            jnp.asarray(top_p, jnp.float32), (logits.shape[0],)
+        )
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_mask = cum - probs > top_p[:, None]  # always keeps first token
+        cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits)
+        threshold = jnp.min(
+            jnp.where(jnp.isfinite(cutoff), cutoff, jnp.inf),
+            axis=-1,
+            keepdims=True,
+        )
+        scaled = jnp.where(scaled < threshold, -jnp.inf, scaled)
 
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temperature == 0.0, greedy, sampled)

@@ -70,12 +70,14 @@ def quantize_model(
         info = idx.info(name)
         skip = any(p in name for p in skip_prefixes)
         if not skip and _quantizable(name, info.shape, info.dtype):
+            from .. import native  # threaded C++ kernels, numpy fallback
+
             data = np.asarray(idx.load(name), dtype=np.float32)
             if quantize_to == "q4":
-                packed, scales = blockq.q4_quantize_np(data)
+                packed, scales = native.q4_quantize(data)
                 w.add_q4(name, packed, scales)
             else:
-                values, scales = blockq.q8_quantize_np(data)
+                values, scales = native.q8_quantize(data)
                 w.add_i8(name, values, scales)
         else:
             arr = idx.load(name)

@@ -132,14 +132,18 @@ class BatchScheduler:
             )
             return cache[0]
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(8,))
         def _decode(params, state: PagedKVState, tokens, positions, pts, key,
-                    temps, top_ps):
+                    temps, top_ps, all_top_p_one):
             hidden, cache = forward_hidden(
                 params, cfg, tokens, positions, (state, pts), dtype=compute_dtype
             )
             logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
-            toks = sample_token(logits, key, temps, top_p=top_ps)
+            # statically skip the full-vocab nucleus sort when no request
+            # uses top_p this iteration
+            toks = sample_token(
+                logits, key, temps, top_p=1.0 if all_top_p_one else top_ps
+            )
             return toks, cache[0]
 
         self._prefill = _prefill
@@ -272,7 +276,7 @@ class BatchScheduler:
         toks, self.kv.state = self._decode(
             self.params, self.kv.state, jnp.asarray(tokens),
             jnp.asarray(positions), pts, sub, jnp.asarray(temps),
-            jnp.asarray(top_ps),
+            jnp.asarray(top_ps), bool(np.all(top_ps >= 1.0)),
         )
         toks_host = np.asarray(toks)
 
