@@ -89,38 +89,33 @@ def main():
 
     from functools import partial
 
-    # fused multi-token decode: the whole loop is ONE device program, so the
-    # measurement excludes host dispatch latency (which, through the remote
-    # tunnel used in this environment, would otherwise dominate)
-    @partial(jax.jit, donate_argnums=(1,), static_argnums=(4,))
-    def decode_n(params, cache, token, start_pos, n):
-        def body(i, carry):
-            tok, cache, key = carry
-            key, sub = jax.random.split(key)
-            hidden, cache = forward_hidden(
-                params, cfg, tok, start_pos + i, cache, dtype=jnp.bfloat16
-            )
-            logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
-            nxt = sample_token(logits, sub, 0.0)
-            return nxt[:, None], cache, key
-
-        tok, cache, _ = jax.lax.fori_loop(
-            0, n, body, (token, cache, jax.random.PRNGKey(0))
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode_step(params, cache, token, position, key):
+        hidden, cache = forward_hidden(
+            params, cfg, token, position, cache, dtype=jnp.bfloat16
         )
-        return tok, cache
+        logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
+        tok = sample_token(logits, key, 0.0)
+        return tok[:, None], cache
 
     import numpy as np
 
-    tok = jnp.asarray([[1]], jnp.int32)
-    pos0 = jnp.asarray([[0]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    t = jnp.asarray([[1]], jnp.int32)
 
     # warmup/compile; np.asarray forces a REAL device sync (on the axon
-    # remote platform block_until_ready returns before execution completes)
-    t, cache = decode_n(params, cache, tok, pos0, 2)
+    # remote platform block_until_ready returns before execution completes).
+    # The measured section uses per-step async dispatches (the serving
+    # pattern) with one final hard sync, so the remote tunnel's ~40 ms
+    # round-trip latency is pipelined away rather than multiplied in.
+    t, cache = decode_step(params, cache, t, jnp.asarray([[0]], jnp.int32), key)
     np.asarray(t)
 
     start = time.perf_counter()
-    t, cache = decode_n(params, cache, t, pos0 + 2, DECODE_TOKENS)
+    for i in range(1, DECODE_TOKENS + 1):
+        t, cache = decode_step(
+            params, cache, t, jnp.asarray([[i]], jnp.int32), key
+        )
     np.asarray(t)
     dt = time.perf_counter() - start
 

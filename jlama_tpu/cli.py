@@ -116,7 +116,28 @@ def cmd_serve(args) -> None:
     from .runtime.scheduler import BatchScheduler
     from .server.openai_api import OpenAIServer
 
+    # multi-host / multi-chip: join the cluster before touching devices
+    # (replaces the reference's cluster-coordinator/cluster-worker commands;
+    # every host runs the same `serve` with its process id)
+    if args.coordinator:
+        from .parallel.distributed import initialize_cluster
+
+        initialize_cluster(
+            args.coordinator, args.num_processes, args.process_id
+        )
+
     params, cfg, tokenizer, model_dir = _load_engine(args, for_serving=True)
+
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from .parallel.mesh import make_mesh, shard_params
+
+        dp, pp, tp = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(jax.devices(), dp=dp, pp=pp, tp=tp)
+        params = shard_params(params, cfg, mesh)
+
     sched = BatchScheduler(
         params,
         cfg,
@@ -125,6 +146,7 @@ def cmd_serve(args) -> None:
         n_pages=args.kv_pages,
         page_size=args.page_size,
         max_seq_len=args.context,
+        mesh=mesh,
     )
     server = OpenAIServer(sched, tokenizer, model_name=model_dir.name)
     print(f"Serving {model_dir.name} on http://{args.host}:{args.port}")
@@ -227,6 +249,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-slots", type=int, default=8)
     p.add_argument("--kv-pages", type=int, default=512)
     p.add_argument("--page-size", type=int, default=64)
+    p.add_argument("--mesh", default=None, metavar="DP,PP,TP",
+                   help="shard the model over a device mesh, e.g. 1,1,4")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address (multi-host)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("download", help="download a model from HuggingFace")

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.linear import linear
+from ..utils.debug import debug
 from .rope import apply_rope
 
 
@@ -158,6 +159,10 @@ def self_attention_block(
     q = linear(x, params["wq"], params.get("wq.bias"))
     k = linear(x, params["wk"], params.get("wk.bias"))
     v = linear(x, params["wv"], params.get("wv.bias"))
+    # cf. reference debug points (CausalSelfAttention.java:194-196)
+    debug("query", q)
+    debug("key", k)
+    debug("value", v)
     q = q.reshape(B, T, cfg.n_heads, hd)
     k = k.reshape(B, T, cfg.n_kv_heads, hd)
     v = v.reshape(B, T, cfg.n_kv_heads, hd)

@@ -100,6 +100,7 @@ class BatchScheduler:
         kv_dtype=jnp.bfloat16,
         compute_dtype=jnp.bfloat16,
         seed: int = 0,
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -114,6 +115,16 @@ class BatchScheduler:
             max_pages_per_seq=-(-max_seq // page_size),
             dtype=kv_dtype,
         )
+        if mesh is not None:
+            # pool [L, n_pages, ps, n_kv, hd]: KV heads ride the tp axis
+            # (each TP shard stores only its KV-head slice,
+            # cf. KvBufferCache.java:105-110)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = NamedSharding(mesh, P(None, None, None, "tp", None))
+            self.kv.state = jax.tree.map(
+                lambda a: jax.device_put(a, s), self.kv.state
+            )
         self.slots: list[GenRequest | None] = [None] * n_slots
         self.pending: queue.Queue[GenRequest] = queue.Queue()
         # session resume state: session_id -> (position, pending_token)
@@ -232,6 +243,9 @@ class BatchScheduler:
         req.finish = reason
         req.state = RequestState.DONE
         req.t_done = time.perf_counter()
+        from ..utils.metrics import GLOBAL_METRICS
+
+        GLOBAL_METRICS.record(req.to_response())
         if req.session_id:
             # keep the session's pages; remember where to resume
             self.session_state[req.session_id] = (req.position, req.cur_token)

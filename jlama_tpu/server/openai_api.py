@@ -68,6 +68,7 @@ class OpenAIServer:
         self.app.router.add_post("/v1/embeddings", self.embeddings)
         self.app.router.add_get("/v1/models", self.models)
         self.app.router.add_get("/cluster/topology", self.topology)
+        self.app.router.add_get("/metrics", self.metrics)
         self.app.router.add_get("/healthz", self.health)
 
     # ------------------------------------------------------------------
@@ -332,6 +333,11 @@ class OpenAIServer:
                 "kv_pages_total": self.sched.kv.n_pages,
             }
         )
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        from ..utils.metrics import GLOBAL_METRICS
+
+        return web.json_response(GLOBAL_METRICS.snapshot())
 
     async def health(self, request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})

@@ -86,3 +86,23 @@ def test_quantized_tp_sharding(tiny):
         got, _ = forward_logits(sq, cfg, toks, pos, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_scheduler_with_mesh(tiny):
+    """Continuous batching over a TP mesh matches unsharded scheduling."""
+    params, cfg = tiny
+    from jlama_tpu.runtime.scheduler import BatchScheduler
+    from jlama_tpu.parallel.mesh import make_mesh, shard_params
+
+    plain = BatchScheduler(params, cfg, n_slots=2, n_pages=32, page_size=8,
+                           max_seq_len=48, kv_dtype=jnp.float32,
+                           compute_dtype=jnp.float32)
+    ref = plain.generate([1, 5, 9, 42], max_new_tokens=6, temperature=0.0)
+
+    mesh = make_mesh(jax.devices()[:2], dp=1, pp=1, tp=2)
+    sp = shard_params(params, cfg, mesh)
+    tp = BatchScheduler(sp, cfg, n_slots=2, n_pages=32, page_size=8,
+                        max_seq_len=48, kv_dtype=jnp.float32,
+                        compute_dtype=jnp.float32, mesh=mesh)
+    got = tp.generate([1, 5, 9, 42], max_new_tokens=6, temperature=0.0)
+    assert got.token_ids == ref.token_ids
