@@ -70,6 +70,8 @@ class OpenAIServer:
         self.app.router.add_get("/cluster/topology", self.topology)
         self.app.router.add_get("/metrics", self.metrics)
         self.app.router.add_get("/healthz", self.health)
+        self.app.router.add_get("/", self.ui)
+        self.app.router.add_get("/ui", self.ui)
 
     # ------------------------------------------------------------------
 
@@ -341,6 +343,13 @@ class OpenAIServer:
 
     async def health(self, request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})
+
+    async def ui(self, request: web.Request) -> web.Response:
+        """Static chat UI (cf. jlama-cli/src/main/webapp/ui/index.html)."""
+        from pathlib import Path
+
+        page = Path(__file__).parent / "webapp" / "index.html"
+        return web.Response(text=page.read_text(), content_type="text/html")
 
     # ------------------------------------------------------------------
 
