@@ -24,7 +24,7 @@ HBM_BW = float(os.environ.get("JLAMA_BENCH_HBM_BW", 819e9))
 
 DECODE_TOKENS = int(os.environ.get("JLAMA_BENCH_TOKENS", 128))
 QUANT = os.environ.get("JLAMA_BENCH_QUANT", "bf16")  # bf16 | q4
-UNROLL = os.environ.get("JLAMA_BENCH_UNROLL", "1") == "1"
+UNROLL = os.environ.get("JLAMA_BENCH_UNROLL", "0") == "1"
 
 
 def init_params_device(cfg, dtype=jnp.bfloat16, quant: str = "bf16"):

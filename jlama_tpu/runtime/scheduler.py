@@ -131,6 +131,7 @@ class BatchScheduler:
         # pages stay allocated under the session's kv key between requests
         # (cf. KvBufferCache session map + Coordinator.sessionPositions)
         self.session_state: dict[str, tuple[int, int | None]] = {}
+        self._suspended: dict[str, tuple] = {}
         self.key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._running = False
@@ -258,6 +259,62 @@ class BatchScheduler:
     def drop_session(self, session_id: str) -> None:
         self.session_state.pop(session_id, None)
         self.kv.alloc.release(session_id)
+        self._suspended.pop(session_id, None)
+
+    # ------------------------------------------------------------------
+    # session offload — the TPU equivalent of the reference's disk-backed
+    # KV pages (KvBufferCache.java:134-174): an idle session's pages move
+    # to host RAM (or disk via np.save) and its HBM pages are freed; a
+    # resume copies them back into freshly allocated pages.
+    # ------------------------------------------------------------------
+
+    def suspend_session(self, session_id: str, to_dir: str | None = None) -> bool:
+        if session_id not in self.session_state:
+            return False
+        pages = self.kv.alloc.pages_for(session_id)
+        if not pages:
+            return False
+        idxs = jnp.asarray(np.asarray(pages, dtype=np.int32))
+        k_host = np.asarray(self.kv.state.k_pool[:, idxs])
+        v_host = np.asarray(self.kv.state.v_pool[:, idxs])
+        if to_dir is not None:
+            import os
+
+            os.makedirs(to_dir, exist_ok=True)
+            np.save(f"{to_dir}/{session_id}.k.npy", k_host)
+            np.save(f"{to_dir}/{session_id}.v.npy", v_host)
+            payload = (to_dir, len(pages))
+        else:
+            payload = (k_host, v_host)
+        self._suspended[session_id] = (payload, self.session_state[session_id])
+        self.kv.alloc.release(session_id)
+        self.session_state.pop(session_id)
+        return True
+
+    def resume_session(self, session_id: str) -> bool:
+        if session_id not in self._suspended:
+            return False
+        payload, state = self._suspended.pop(session_id)
+        if isinstance(payload[0], str):
+            to_dir, _ = payload
+            k_host = np.load(f"{to_dir}/{session_id}.k.npy")
+            v_host = np.load(f"{to_dir}/{session_id}.v.npy")
+        else:
+            k_host, v_host = payload
+        n_pages = k_host.shape[1]
+        ps = self.kv.page_size
+        pages = self.kv.alloc.ensure_capacity(session_id, n_pages * ps, ps)
+        idxs = jnp.asarray(np.asarray(pages, dtype=np.int32))
+        self.kv.state = PagedKVState(
+            self.kv.state.k_pool.at[:, idxs].set(
+                jnp.asarray(k_host, self.kv.state.k_pool.dtype)
+            ),
+            self.kv.state.v_pool.at[:, idxs].set(
+                jnp.asarray(v_host, self.kv.state.v_pool.dtype)
+            ),
+        )
+        self.session_state[session_id] = state
+        return True
 
     def step(self) -> int:
         """One scheduler iteration. Returns number of active sequences."""

@@ -29,6 +29,19 @@ class SafeTensorWriter:
         dtype = st_dtype or NUMPY_TO_ST[arr.dtype]
         self._entries.append((name, dtype, tuple(arr.shape), arr))
 
+    def add_raw(
+        self,
+        name: str,
+        st_dtype: str,
+        logical_shape: tuple[int, ...],
+        payload: np.ndarray,
+    ) -> None:
+        """Add with an explicit safetensors dtype + logical shape (used when
+        re-serializing Q4 tensors whose payload is packed)."""
+        self._entries.append(
+            (name, st_dtype, tuple(logical_shape), np.ascontiguousarray(payload))
+        )
+
     def add_q4(
         self, name: str, packed: np.ndarray, scales: np.ndarray
     ) -> None:

@@ -123,3 +123,47 @@ def test_session_resume_matches_engine(setup):
                                session_id="eng_s1")
     assert a.out_ids == ref.token_ids
     assert b.out_ids == ref2.token_ids
+
+
+def test_session_suspend_resume(setup, tmp_path):
+    """Offloaded session pages restore exactly (disk-backed KV parity)."""
+    _, sched = setup
+    from jlama_tpu.runtime.scheduler import GenRequest, RequestState
+
+    s2 = type(sched)(
+        sched.params, sched.cfg, n_slots=2, n_pages=32, page_size=8,
+        max_seq_len=48, kv_dtype=sched.kv.state.k_pool.dtype,
+        compute_dtype=sched.kv.state.k_pool.dtype,
+    )
+    a = GenRequest(prompt_ids=[1, 3, 7, 9], max_new_tokens=2, temperature=0.0,
+                   session_id="off1")
+    s2.submit(a)
+    while a.state != RequestState.DONE:
+        s2.step()
+    free_mid = s2.kv.alloc.n_free
+    assert s2.suspend_session("off1", to_dir=str(tmp_path))
+    assert s2.kv.alloc.n_free > free_mid  # pages were freed
+    assert s2.resume_session("off1")
+    b = GenRequest(prompt_ids=[12, 30], max_new_tokens=4, temperature=0.0,
+                   session_id="off1")
+    s2.submit(b)
+    while b.state != RequestState.DONE:
+        s2.step()
+
+    # reference: same conversation without suspension
+    s3 = type(sched)(
+        sched.params, sched.cfg, n_slots=2, n_pages=32, page_size=8,
+        max_seq_len=48, kv_dtype=sched.kv.state.k_pool.dtype,
+        compute_dtype=sched.kv.state.k_pool.dtype,
+    )
+    a2 = GenRequest(prompt_ids=[1, 3, 7, 9], max_new_tokens=2, temperature=0.0,
+                    session_id="ref1")
+    s3.submit(a2)
+    while a2.state != RequestState.DONE:
+        s3.step()
+    b2 = GenRequest(prompt_ids=[12, 30], max_new_tokens=4, temperature=0.0,
+                    session_id="ref1")
+    s3.submit(b2)
+    while b2.state != RequestState.DONE:
+        s3.step()
+    assert b.out_ids == b2.out_ids
