@@ -256,6 +256,77 @@ class Engine:
         )
 
     # ------------------------------------------------------------------
+    # text-level generation (cf. AbstractModel.generate:516-646 + the
+    # Generator contract: BOS handling, tool-call post-processing)
+    # ------------------------------------------------------------------
+
+    def encode_prompt(self, text: str) -> list[int]:
+        """Tokenize with BOS handling (cf. AbstractModel.java:549-559)."""
+        ids = self.tokenizer.encode(text)
+        bos = self.tokenizer.bos_id
+        add_bos = self.tokenizer.spec.add_bos_token
+        if add_bos is None:
+            add_bos = self.cfg.bos_token_id is not None
+        if add_bos and bos is not None and (not ids or ids[0] != bos):
+            ids = [bos] + ids
+        return ids
+
+    def generate(
+        self,
+        prompt,
+        session_id: str | None = None,
+        temperature: float = 0.0,
+        max_new_tokens: int = 256,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        on_token: Callable[[str, float], None] | None = None,
+    ) -> Response:
+        """Generate from a string or PromptContext; extracts tool calls.
+
+        on_token streams decoded TEXT fragments (UTF-8 safe: partial
+        codepoints are buffered until complete).
+        """
+        from ..prompt import PromptContext, extract_tool_calls
+
+        ctx = prompt if isinstance(prompt, PromptContext) else PromptContext.of(str(prompt))
+        ids = self.encode_prompt(ctx.prompt)
+
+        stream_buf: list[int] = []
+
+        def tok_cb(tok: int, ms: float) -> None:
+            if on_token is None:
+                return
+            stream_buf.append(tok)
+            text = self.tokenizer.decode(stream_buf)
+            if text and not text.endswith("�"):
+                on_token(text, ms)
+                stream_buf.clear()
+
+        resp = self.generate_tokens(
+            ids,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            session_id=session_id,
+            seed=seed,
+            on_token=tok_cb if on_token else None,
+        )
+        if ctx.has_tools:
+            calls = extract_tool_calls(resp.response_text, ctx.tools)
+            if calls:
+                resp.tool_calls = calls
+                resp.finish_reason = FinishReason.TOOL_CALL
+        from ..utils.metrics import GLOBAL_METRICS
+
+        GLOBAL_METRICS.record(resp)
+        return resp
+
+    def builder(self) -> "GenerateBuilder":
+        return GenerateBuilder(self)
+
+    # ------------------------------------------------------------------
     # embeddings / classification
     # (cf. AbstractModel.embed/classify, AbstractModel.java:332-419)
     # ------------------------------------------------------------------
@@ -319,3 +390,65 @@ class Engine:
         p = _np.exp(logits - logits.max())
         p /= p.sum()
         return {labels[i]: float(p[i]) for i in range(len(p)) if i in labels}
+
+
+@dataclass
+class GenerateBuilder:
+    """Fluent request builder (cf. Generator.GenerateBuilder,
+    model/functions/Generator.java:182-243)."""
+
+    engine: Engine
+    _session: str | None = None
+    _prompt = None
+    _temperature: float = 0.0
+    _max_tokens: int = 256
+    _top_p: float = 1.0
+    _top_k: int = 0
+    _seed: int = 0
+    _on_token: Callable[[str, float], None] | None = None
+
+    def session(self, session_id: str) -> "GenerateBuilder":
+        self._session = session_id
+        return self
+
+    def prompt(self, prompt) -> "GenerateBuilder":
+        self._prompt = prompt
+        return self
+
+    def temperature(self, t: float) -> "GenerateBuilder":
+        self._temperature = t
+        return self
+
+    def max_tokens(self, n: int) -> "GenerateBuilder":
+        self._max_tokens = n
+        return self
+
+    def top_p(self, p: float) -> "GenerateBuilder":
+        self._top_p = p
+        return self
+
+    def top_k(self, k: int) -> "GenerateBuilder":
+        self._top_k = k
+        return self
+
+    def seed(self, s: int) -> "GenerateBuilder":
+        self._seed = s
+        return self
+
+    def on_token(self, cb) -> "GenerateBuilder":
+        self._on_token = cb
+        return self
+
+    def generate(self) -> Response:
+        if self._prompt is None:
+            raise ValueError("prompt not set")
+        return self.engine.generate(
+            self._prompt,
+            session_id=self._session,
+            temperature=self._temperature,
+            max_new_tokens=self._max_tokens,
+            top_k=self._top_k,
+            top_p=self._top_p,
+            seed=self._seed,
+            on_token=self._on_token,
+        )

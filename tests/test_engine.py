@@ -68,3 +68,46 @@ def test_temperature_sampling_runs(engine_and_hf):
                             top_k=50, seed=3)
     assert len(r.token_ids) == 5
     assert all(0 <= t < 256 for t in r.token_ids)
+
+
+def test_text_generate_and_builder(tmp_path_factory):
+    from tests.helpers import make_tiny_chat_model
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.tokenizers import load_tokenizer
+    from jlama_tpu.runtime.engine import Engine, FinishReason
+
+    tmp = tmp_path_factory.mktemp("tiny_text_gen")
+    model_dir, _ = make_tiny_chat_model(tmp)
+    import jax.numpy as jnp
+    params, cfg = load_params(model_dir, float_dtype=jnp.float32)
+    eng = Engine(params, cfg, load_tokenizer(model_dir), max_seq_len=96,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+
+    pieces = []
+    resp = eng.generate("Hello there", max_new_tokens=6,
+                        on_token=lambda text, ms: pieces.append(text))
+    assert resp.generated_tokens >= 1
+    assert isinstance(resp.response_text, str)
+    # streamed pieces concatenate to (a prefix of) the final text
+    assert resp.response_text.startswith("".join(pieces)[: len(resp.response_text)])
+
+    r2 = (
+        eng.builder()
+        .prompt("Hello")
+        .temperature(0.0)
+        .max_tokens(4)
+        .generate()
+    )
+    assert r2.generated_tokens >= 1
+
+
+def test_tool_call_finish_reason(tmp_path_factory):
+    """When output contains a tool JSON and tools are present → TOOL_CALL."""
+    from jlama_tpu.prompt import PromptContext, Tool, Function
+    from jlama_tpu.runtime.engine import Engine, FinishReason, Response
+    from jlama_tpu.prompt import extract_tool_calls
+
+    text = '{"name": "lookup", "parameters": {"q": "x"}}'
+    tools = [Tool.from_function(Function(name="lookup"))]
+    calls = extract_tool_calls(text, tools)
+    assert len(calls) == 1 and calls[0].name == "lookup"
