@@ -7,9 +7,11 @@ HBM and dynamic allocation becomes host-side page-table bookkeeping — the
 device program sees only static shapes (pool + int32 page tables), which is
 what jit requires.
 
-Layout:
-  k_pool, v_pool: [n_layers, n_pages, page_size, n_kv_heads, head_size]
-  page table row: [max_pages_per_seq] int32 page ids (-1 = unallocated)
+Layout (head-major — matches the Pallas paged-attention kernel's
+[num_kv_heads, total_pages, page_size, head_dim] and lets the head axis ride
+the tp mesh axis):
+  k_pool, v_pool: [n_layers, n_kv_heads, n_pages, page_size, head_size]
+  page table row: [max_pages_per_seq] int32 page ids
 
 Page 0 is reserved as a scratch/garbage page so unallocated table entries can
 point somewhere harmless.
@@ -84,7 +86,7 @@ class PagedKVCache:
         self.max_pages_per_seq = max_pages_per_seq or (
             -(-cfg.context_length // page_size)
         )
-        shape = (cfg.n_layers, n_pages, page_size, cfg.n_kv_heads, cfg.head_size)
+        shape = (cfg.n_layers, cfg.n_kv_heads, n_pages, page_size, cfg.head_size)
         self.state = PagedKVState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         self.alloc = PageAllocator(n_pages)
 
@@ -104,7 +106,7 @@ class PagedKVCache:
 
 
 def write_kv_layer(
-    k_pool: jnp.ndarray,  # [n_pages, ps, n_kv, hd] (single layer)
+    k_pool: jnp.ndarray,  # [n_kv, n_pages, ps, hd] (single layer)
     v_pool: jnp.ndarray,
     k_new: jnp.ndarray,  # [B, T, n_kv, hd]
     v_new: jnp.ndarray,
@@ -112,7 +114,7 @@ def write_kv_layer(
     positions: jnp.ndarray,  # [B, T] absolute token positions
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Scatter new K/V rows into the pool at their (page, offset) slots."""
-    ps = k_pool.shape[1]
+    ps = k_pool.shape[2]
     B, T = positions.shape
     page_idx = jnp.take_along_axis(
         page_tables, positions // ps, axis=1
@@ -120,10 +122,11 @@ def write_kv_layer(
     offs = positions % ps
     flat_pages = page_idx.reshape(-1)
     flat_offs = offs.reshape(-1)
-    kf = k_new.reshape(B * T, *k_new.shape[2:]).astype(k_pool.dtype)
-    vf = v_new.reshape(B * T, *v_new.shape[2:]).astype(v_pool.dtype)
-    k_pool = k_pool.at[flat_pages, flat_offs].set(kf)
-    v_pool = v_pool.at[flat_pages, flat_offs].set(vf)
+    # [B*T, n_kv, hd] -> [n_kv, B*T, hd] to match head-major pools
+    kf = k_new.reshape(B * T, -1, k_new.shape[-1]).transpose(1, 0, 2)
+    vf = v_new.reshape(B * T, -1, v_new.shape[-1]).transpose(1, 0, 2)
+    k_pool = k_pool.at[:, flat_pages, flat_offs].set(kf.astype(k_pool.dtype))
+    v_pool = v_pool.at[:, flat_pages, flat_offs].set(vf.astype(v_pool.dtype))
     return k_pool, v_pool
 
 
@@ -134,13 +137,13 @@ def gather_kv_layer(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Materialize each sequence's KV window [B, P*ps, n_kv, hd] (XLA path).
 
-    The Pallas ragged paged-attention kernel reads pages directly from HBM
-    instead; this gather is the portable reference path.
+    The Pallas paged-attention kernel reads pages directly from HBM instead;
+    this gather is the portable reference path (CPU tests, prefill).
     """
-    k = k_pool[page_tables]  # [B, P, ps, n_kv, hd]
-    v = v_pool[page_tables]
-    B, P, ps = k.shape[:3]
+    k = k_pool[:, page_tables]  # [n_kv, B, P, ps, hd]
+    v = v_pool[:, page_tables]
+    n_kv, B, P, ps, hd = k.shape
     return (
-        k.reshape(B, P * ps, *k.shape[3:]),
-        v.reshape(B, P * ps, *v.shape[3:]),
+        k.transpose(1, 2, 3, 0, 4).reshape(B, P * ps, n_kv, hd),
+        v.transpose(1, 2, 3, 0, 4).reshape(B, P * ps, n_kv, hd),
     )

@@ -173,15 +173,12 @@ def self_attention_block(
 
     if isinstance(cache, PagedLayerCache):
         from ..kv.paged import write_kv_layer, gather_kv_layer
+        from ..ops import flags
 
         k_pool, v_pool = write_kv_layer(
             cache.k_pool, cache.v_pool, k, v, cache.page_tables, positions
         )
         cache = PagedLayerCache(k_pool, v_pool, cache.page_tables)
-        k_gath, v_gath = gather_kv_layer(k_pool, v_pool, cache.page_tables)
-        k_att = k_gath.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
-        v_att = v_gath.transpose(0, 2, 1, 3)
-        kv_len = k_att.shape[2]
 
         if cfg.attention_multiplier is not None:
             scale = cfg.attention_multiplier
@@ -189,8 +186,48 @@ def self_attention_block(
             scale = cfg.query_pre_attn_scalar**-0.5
         else:
             scale = hd**-0.5
-        mask = attention_scores_mask(positions, kv_len, cfg.causal, sliding_window)
-        out = multi_head_attention(q, k_att, v_att, mask, scale, cfg.attn_logit_softcap)
+
+        use_kernel = (
+            flags.USE_PAGED_ATTENTION_KERNEL
+            and T == 1
+            and cfg.causal
+            and cfg.sliding_window is None
+        )
+        if use_kernel:
+            # Pallas paged-attention decode kernel (double-buffered per-page
+            # DMA, online softmax); reads only each sequence's live pages
+            # instead of gathering the whole padded window
+            from jax.experimental.pallas.ops.tpu.paged_attention import (
+                paged_attention,
+            )
+
+            P = cache.page_tables.shape[1]
+            ppcb = 1
+            for c in (8, 4, 2, 1):
+                if P % c == 0:
+                    ppcb = c
+                    break
+            out = paged_attention(
+                (q[:, 0] * scale).astype(k_pool.dtype),
+                k_pool,
+                v_pool,
+                lengths=positions[:, 0] + 1,
+                page_indices=cache.page_tables,
+                pages_per_compute_block=ppcb,
+                attn_logits_soft_cap=cfg.attn_logit_softcap,
+            )  # [B, n_heads, hd]
+            out = out[:, None].astype(x.dtype)
+        else:
+            k_gath, v_gath = gather_kv_layer(k_pool, v_pool, cache.page_tables)
+            k_att = k_gath.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
+            v_att = v_gath.transpose(0, 2, 1, 3)
+            kv_len = k_att.shape[2]
+            mask = attention_scores_mask(
+                positions, kv_len, cfg.causal, sliding_window
+            )
+            out = multi_head_attention(
+                q, k_att, v_att, mask, scale, cfg.attn_logit_softcap
+            )
         out = out.reshape(B, T, cfg.n_heads * hd)
         out = linear(out, params["wo"], params.get("wo.bias"))
         return out, cache

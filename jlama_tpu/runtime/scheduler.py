@@ -116,12 +116,12 @@ class BatchScheduler:
             dtype=kv_dtype,
         )
         if mesh is not None:
-            # pool [L, n_pages, ps, n_kv, hd]: KV heads ride the tp axis
+            # pool [L, n_kv, n_pages, ps, hd]: KV heads ride the tp axis
             # (each TP shard stores only its KV-head slice,
             # cf. KvBufferCache.java:105-110)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            s = NamedSharding(mesh, P(None, None, None, "tp", None))
+            s = NamedSharding(mesh, P(None, "tp", None, None, None))
             self.kv.state = jax.tree.map(
                 lambda a: jax.device_put(a, s), self.kv.state
             )
@@ -275,8 +275,8 @@ class BatchScheduler:
         if not pages:
             return False
         idxs = jnp.asarray(np.asarray(pages, dtype=np.int32))
-        k_host = np.asarray(self.kv.state.k_pool[:, idxs])
-        v_host = np.asarray(self.kv.state.v_pool[:, idxs])
+        k_host = np.asarray(self.kv.state.k_pool[:, :, idxs])
+        v_host = np.asarray(self.kv.state.v_pool[:, :, idxs])
         if to_dir is not None:
             import os
 
@@ -301,15 +301,15 @@ class BatchScheduler:
             v_host = np.load(f"{to_dir}/{session_id}.v.npy")
         else:
             k_host, v_host = payload
-        n_pages = k_host.shape[1]
+        n_pages = k_host.shape[2]
         ps = self.kv.page_size
         pages = self.kv.alloc.ensure_capacity(session_id, n_pages * ps, ps)
         idxs = jnp.asarray(np.asarray(pages, dtype=np.int32))
         self.kv.state = PagedKVState(
-            self.kv.state.k_pool.at[:, idxs].set(
+            self.kv.state.k_pool.at[:, :, idxs].set(
                 jnp.asarray(k_host, self.kv.state.k_pool.dtype)
             ),
-            self.kv.state.v_pool.at[:, idxs].set(
+            self.kv.state.v_pool.at[:, :, idxs].set(
                 jnp.asarray(v_host, self.kv.state.v_pool.dtype)
             ),
         )
