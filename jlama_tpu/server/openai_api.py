@@ -121,7 +121,13 @@ class OpenAIServer:
     # ------------------------------------------------------------------
 
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
-        body = await request.json()
+        try:
+            body = await request.json()
+        except Exception:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": {"message": "invalid JSON body"}}),
+                content_type="application/json",
+            )
         stream = bool(body.get("stream", False))
         prompt, tools = self._render_prompt(body)
         prompt_ids = self._encode(prompt)
@@ -239,7 +245,13 @@ class OpenAIServer:
         return sse
 
     async def completions(self, request: web.Request) -> web.Response:
-        body = await request.json()
+        try:
+            body = await request.json()
+        except Exception:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": {"message": "invalid JSON body"}}),
+                content_type="application/json",
+            )
         prompt = body.get("prompt", "")
         if isinstance(prompt, list):
             prompt = prompt[0] if prompt else ""
