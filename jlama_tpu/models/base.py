@@ -114,13 +114,19 @@ def forward_hidden(
     token_types: jnp.ndarray | None = None,
     dtype=jnp.bfloat16,
     layer_range: tuple[int, int] | None = None,
+    hidden_sharding=None,
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Run embedding + all transformer layers. Returns (hidden [B,T,D], cache).
 
     layer_range mirrors the reference's DistributedContext.layerStart/End
-    (pipeline sharding); None = all layers.
+    (pipeline sharding); None = all layers. hidden_sharding (a NamedSharding
+    or PartitionSpec) enables sequence parallelism: constraining [B, T, D]
+    activations to e.g. P('dp', 'tp', None) makes GSPMD keep the token axis
+    sharded through norms/elementwise sections and gather only for attention.
     """
     x = _embed(params, cfg, tokens, positions, token_types, dtype)
+    if hidden_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, hidden_sharding)
 
     if cfg.rope_theta:
         inv_freq = jnp.asarray(rope_frequencies(cfg))
