@@ -200,3 +200,52 @@ def test_mixtral(tmp_path):
     ).eval()
     save_torch_model(m, tmp_path, cfg)
     _check(tmp_path, m)
+
+
+def test_llama3_rope_scaling(tmp_path):
+    """llama3-style NTK RoPE scaling matches transformers."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(8)
+    cfg = dict(
+        model_type="llama", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+        rms_norm_eps=1e-5, vocab_size=256, max_position_embeddings=256,
+        rope_theta=10000.0, hidden_act="silu",
+        rope_scaling={
+            "rope_type": "llama3", "factor": 4.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0, "original_max_position_embeddings": 64,
+        },
+    )
+    m = LlamaForCausalLM(
+        LlamaConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    from tests.helpers import save_torch_model
+
+    save_torch_model(m, tmp_path, cfg)
+    toks = np.concatenate([TOKENS, TOKENS], axis=1)  # longer positions
+    ref = _ref_logits(m, toks)
+    got = _ours_logits(tmp_path, toks)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_linear_rope_scaling(tmp_path):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(9)
+    cfg = dict(
+        model_type="llama", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+        rms_norm_eps=1e-5, vocab_size=256, max_position_embeddings=256,
+        rope_theta=10000.0, hidden_act="silu",
+        rope_scaling={"rope_type": "linear", "factor": 2.0},
+    )
+    m = LlamaForCausalLM(
+        LlamaConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    from tests.helpers import save_torch_model
+
+    save_torch_model(m, tmp_path, cfg)
+    ref = _ref_logits(m)
+    got = _ours_logits(tmp_path)
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
