@@ -25,6 +25,7 @@ HBM_BW = float(os.environ.get("JLAMA_BENCH_HBM_BW", 819e9))
 DECODE_TOKENS = int(os.environ.get("JLAMA_BENCH_TOKENS", 128))
 QUANT = os.environ.get("JLAMA_BENCH_QUANT", "bf16")  # bf16 | q4
 UNROLL = os.environ.get("JLAMA_BENCH_UNROLL", "0") == "1"
+MODEL = os.environ.get("JLAMA_BENCH_MODEL", "1b")  # 1b | 8b
 
 
 def init_params_device(cfg, dtype=jnp.bfloat16, quant: str = "bf16"):
@@ -77,7 +78,12 @@ def active_bytes_per_token(cfg, quant: str) -> float:
 
 
 def main():
-    cfg = llama_1b_config()
+    if MODEL == "8b":
+        from jlama_tpu.models.init import llama_8b_config
+
+        cfg = llama_8b_config()
+    else:
+        cfg = llama_1b_config()
     params = init_params_device(cfg, quant=QUANT)
     max_len = 2048
     cache = KVCache.init(cfg, 1, max_len, jnp.bfloat16)
@@ -124,7 +130,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"decode_tokens_per_sec_per_chip_llama1b_{QUANT}",
+                "metric": f"decode_tokens_per_sec_per_chip_llama{MODEL}_{QUANT}",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(toks_per_s / sol, 4),
