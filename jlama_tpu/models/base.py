@@ -227,6 +227,32 @@ def forward_hidden(
     return x, new_cache
 
 
+def prepare_moe_ragged(params: dict) -> dict:
+    """One-time transpose of float MoE expert weights into the ragged_dot
+    layout ([L, E, in, out]); enables the grouped-matmul MoE path.
+
+    Quantized experts are left dense (their block-32 quantization axis is the
+    input dim, which the transpose would move off the last axis)."""
+    import numpy as _np
+
+    from ..nn.qarray import QArray
+
+    stacked = params.get("layers")
+    if not isinstance(stacked, dict) or "experts.w1" not in stacked:
+        return params
+    if isinstance(stacked["experts.w1"], QArray):
+        return params
+    layers = dict(stacked)
+    for k in ("experts.w1", "experts.w2", "experts.w3"):
+        w = layers[k]  # [L, E, out, in]
+        layers[k + "_t"] = jnp.swapaxes(w, -1, -2)  # [L, E, in, out]
+    for k in ("experts.w1", "experts.w2", "experts.w3"):
+        del layers[k]
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def unstack_params(params: dict, cfg: ModelConfig) -> dict:
     """Convert stacked layer params to a per-layer list (one-time copy).
 

@@ -299,15 +299,26 @@ def mlp_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
 def moe_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
     """Mixture-of-experts FFN with top-k routing.
 
-    Dense formulation: every expert computes, outputs are combined with
-    routing weights. Correct and mesh-friendly (experts shard over the mesh);
-    the grouped/ragged fast path lives in ops.
+    Two formulations (cf. reference MoEBlock.java:80-168, which loops over
+    the selected experts per token):
+
+    - ragged (preferred, float experts prepared via
+      models.base.prepare_moe_ragged): tokens are sorted by expert and run
+      through `jax.lax.ragged_dot` grouped matmuls, so only each expert's
+      assigned tokens touch its weights;
+    - dense fallback: every expert computes, outputs are combined with
+      routing weights (used for quantized experts, whose block-quantization
+      axis would not survive the ragged layout's transpose).
     """
     B, T, D = x.shape
     E, K = cfg.n_experts, cfg.n_experts_per_token
     router_logits = linear(x, params["router"], out_dtype=jnp.float32)  # [B,T,E]
     topk_w, topk_idx = jax.lax.top_k(router_logits, K)
     topk_w = jax.nn.softmax(topk_w, axis=-1)  # softmax over the selected k
+
+    if "experts.w1_t" in params:
+        return _moe_ragged(x, params, cfg, topk_w, topk_idx)
+
     # combine weights as dense [B,T,E]
     combine = jnp.zeros((B, T, E), router_logits.dtype).at[
         jnp.arange(B)[:, None, None],
@@ -326,3 +337,32 @@ def moe_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
     return jnp.einsum("ebtd,bte->btd", outs.astype(jnp.float32), combine).astype(
         x.dtype
     )
+
+
+def _moe_ragged(x, params, cfg, topk_w, topk_idx):
+    """Grouped expert matmul: sort token-assignments by expert, ragged_dot
+    through w1/w3/w2, unsort, weighted-combine."""
+    B, T, D = x.shape
+    E, K = cfg.n_experts, cfg.n_experts_per_token
+    N = B * T
+    xf = x.reshape(N, D)
+
+    flat_expert = topk_idx.reshape(N * K)
+    order = jnp.argsort(flat_expert)  # stable: groups tokens by expert
+    xs = jnp.repeat(xf, K, axis=0)[order]
+    group_sizes = jnp.bincount(flat_expert, length=E)
+
+    w1t, w2t, w3t = params["experts.w1_t"], params["experts.w2_t"], params["experts.w3_t"]
+    gate = activation(
+        jax.lax.ragged_dot(xs, w1t.astype(xs.dtype), group_sizes,
+                           preferred_element_type=jnp.float32).astype(xs.dtype),
+        cfg.activation,
+    )
+    up = jax.lax.ragged_dot(xs, w3t.astype(xs.dtype), group_sizes,
+                            preferred_element_type=jnp.float32).astype(xs.dtype)
+    y = jax.lax.ragged_dot(gate * up, w2t.astype(xs.dtype), group_sizes,
+                           preferred_element_type=jnp.float32)  # [N*K, D] f32
+
+    inv = jnp.argsort(order)
+    y = y[inv] * topk_w.reshape(N * K, 1)
+    return y.reshape(N, K, D).sum(axis=1).reshape(B, T, D).astype(x.dtype)

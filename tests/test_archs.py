@@ -249,3 +249,38 @@ def test_linear_rope_scaling(tmp_path):
     ref = _ref_logits(m)
     got = _ours_logits(tmp_path)
     np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_mixtral_ragged_matches_dense(tmp_path):
+    """ragged_dot MoE path == dense all-experts path."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(10)
+    cfg = dict(
+        model_type="mixtral", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+        rms_norm_eps=1e-5, vocab_size=256, max_position_embeddings=128,
+        rope_theta=10000.0, hidden_act="silu", num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    m = MixtralForCausalLM(
+        MixtralConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.models.base import forward_logits, prepare_moe_ragged
+
+    params, mc = load_params(tmp_path, float_dtype=jnp.float32)
+    pos = np.arange(TOKENS.shape[1], dtype=np.int32)[None, :]
+    dense, _ = forward_logits(params, mc, jnp.asarray(TOKENS), jnp.asarray(pos),
+                              dtype=jnp.float32)
+    rparams = prepare_moe_ragged(params)
+    assert "experts.w1_t" in rparams["layers"]
+    ragged, _ = forward_logits(rparams, mc, jnp.asarray(TOKENS),
+                               jnp.asarray(pos), dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
+    # and still matches the torch reference
+    ref = _ref_logits(m)
+    np.testing.assert_allclose(np.asarray(ragged), ref, rtol=3e-3, atol=3e-3)
