@@ -52,7 +52,8 @@ def cmd_chat(args) -> None:
     from .runtime.engine import Engine
 
     params, cfg, tokenizer, _ = _load_engine(args)
-    eng = Engine(params, cfg, tokenizer, max_seq_len=args.context)
+    eng = Engine(params, cfg, tokenizer, max_seq_len=args.context,
+                 layer_mode=args.layer_mode)
     session = str(uuid.uuid4())
     print("Chatting (ctrl-d to exit)")
     first = True
@@ -95,7 +96,8 @@ def cmd_complete(args) -> None:
     from .runtime.engine import Engine
 
     params, cfg, tokenizer, _ = _load_engine(args)
-    eng = Engine(params, cfg, tokenizer, max_seq_len=args.context)
+    eng = Engine(params, cfg, tokenizer, max_seq_len=args.context,
+                 layer_mode=args.layer_mode)
     ids = tokenizer.encode(args.prompt)
     resp = eng.generate_tokens(
         ids,
@@ -218,6 +220,8 @@ def _add_model_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--context", type=int, default=4096)
     p.add_argument("--use-pallas", action="store_true",
                    help="use the fused Pallas q4 kernels for quantized weights")
+    p.add_argument("--layer-mode", choices=["scan", "unrolled"], default="scan",
+                   help="unrolled: ~2x decode throughput, slow compile")
 
 
 def _add_gen_opts(p: argparse.ArgumentParser) -> None:

@@ -111,3 +111,16 @@ def test_tool_call_finish_reason(tmp_path_factory):
     tools = [Tool.from_function(Function(name="lookup"))]
     calls = extract_tool_calls(text, tools)
     assert len(calls) == 1 and calls[0].name == "lookup"
+
+
+def test_unrolled_layer_mode_matches_scan(engine_and_hf):
+    eng, _ = engine_and_hf
+    from jlama_tpu.runtime.engine import Engine
+    import jax.numpy as jnp
+
+    ref = eng.generate_tokens([1, 5, 9, 42], max_new_tokens=6, temperature=0.0,
+                              session_id="scan_ref")
+    un = Engine(eng.params, eng.cfg, max_seq_len=128, kv_dtype=jnp.float32,
+                compute_dtype=jnp.float32, layer_mode="unrolled")
+    got = un.generate_tokens([1, 5, 9, 42], max_new_tokens=6, temperature=0.0)
+    assert got.token_ids == ref.token_ids
