@@ -307,8 +307,19 @@ def load_params(
     model_dir: str | Path,
     cfg: ModelConfig | None = None,
     float_dtype=jnp.bfloat16,
+    layer_range: tuple[int, int] | None = None,
+    include_embeddings: bool = True,
+    include_head: bool = True,
 ) -> tuple[dict, ModelConfig]:
-    """Load a model directory into (params, cfg)."""
+    """Load a model directory into (params, cfg).
+
+    The partial-load arguments mirror the reference's InferenceType weight
+    gating (AbstractModel.java:59-83): a pipeline middle stage loads only its
+    layer_range with no embeddings/head (FORWARD_PASS); a sampler host loads
+    embeddings+head with no layers (OUTPUT_TO_TOKEN). Stacked layer arrays
+    still span [layer_range), so `forward_hidden(..., layer_range=...)`
+    should use 0-based offsets into them.
+    """
     model_dir = Path(model_dir)
     if cfg is None:
         cfg = load_config(model_dir)
@@ -317,9 +328,25 @@ def load_params(
     r = PrefixedReader(idx, prefix, float_dtype)
 
     params: dict = {}
+    lo, hi = layer_range if layer_range is not None else (0, cfg.n_layers)
 
     # top-level tensors (lm_head may live outside the prefix)
-    for key, hf_name in TOPLEVEL_MAPS[cfg.model_type].items():
+    top_map = dict(TOPLEVEL_MAPS[cfg.model_type])
+    if not include_embeddings and not include_head:
+        top_map = {
+            k: v
+            for k, v in top_map.items()
+            if k.split(":")[0].rstrip("?")
+            not in ("embed", "wpe", "token_type_embed", "lm_head",
+                    "final_norm.weight", "final_norm.bias")
+        }
+    elif not include_head:
+        top_map = {
+            k: v
+            for k, v in top_map.items()
+            if k.split(":")[0].rstrip("?") != "lm_head"
+        }
+    for key, hf_name in top_map.items():
         optional = hf_name.endswith("?")
         hf = hf_name.rstrip("?")
         is_np = ":np" in key
@@ -349,8 +376,10 @@ def load_params(
         optional = key.endswith("?")
         is_np = ":np" in key
         key_clean = key.replace(":np", "").rstrip("?")
+        if lo >= hi:
+            continue
         try:
-            items = [fn(r, cfg, i) for i in range(cfg.n_layers)]
+            items = [fn(r, cfg, i) for i in range(lo, hi)]
         except KeyError:
             if optional:
                 continue

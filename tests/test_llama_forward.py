@@ -87,3 +87,27 @@ def test_batch_padding_invariance(tiny):
         params, cfg, toks[:1], pos[:1], cache1, dtype=jnp.float32
     )
     np.testing.assert_allclose(np.asarray(l2[0]), np.asarray(l1[0]), rtol=1e-4, atol=1e-4)
+
+
+def test_partial_load_roles(tiny):
+    """InferenceType-style partial loading (layer range / no head / no embed)."""
+    model_dir, _ = tiny
+    from jlama_tpu.models.loader import load_params
+
+    mid, cfg = load_params(model_dir, float_dtype=jnp.float32,
+                           layer_range=(1, 2), include_embeddings=False,
+                           include_head=False)
+    assert "embed" not in mid and "lm_head" not in mid
+    assert "final_norm.weight" not in mid
+    assert mid["layers"]["wq"].shape[0] == 1
+
+    head_only, _ = load_params(model_dir, float_dtype=jnp.float32,
+                               layer_range=(0, 0))
+    assert "embed" in head_only
+    assert head_only["layers"] == {}
+
+    # partial layers match the full model's corresponding slice
+    full, _ = load_params(model_dir, float_dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(mid["layers"]["wq"][0]), np.asarray(full["layers"]["wq"][1])
+    )
