@@ -364,9 +364,11 @@ class Engine:
         hidden = _np.asarray(
             self._hidden_nocache(self.params, toks, pos, tt), dtype=_np.float32
         )[0]
-        if pooling == "MODEL":
-            # last token "represents the sum of the prompt" (AbstractModel.java:346)
-            v = hidden[-1]
+        if pooling in ("MODEL", "CLS"):
+            # MODEL: last token "represents the sum of the prompt"
+            # (AbstractModel.java:346, reference-compatible); CLS: first token
+            # through the pooler — what HF BertForSequenceClassification does
+            v = hidden[0] if pooling == "CLS" else hidden[-1]
             if "pooler.weight" in self.params:  # BERT pooler: dense + tanh
                 w = _np.asarray(self.params["pooler.weight"], dtype=_np.float32)
                 b = _np.asarray(
@@ -388,13 +390,17 @@ class Engine:
         ids = self.tokenizer.encode(text)
         return self.embed_tokens(ids, pooling=pooling)
 
-    def classify(self, text: str, pooling: str = "MODEL") -> dict[str, float]:
+    def classify(self, text: str, pooling: str | None = None) -> dict[str, float]:
         """embed → classifier head → softmax → {label: prob}."""
         import numpy as _np
 
         labels = self.cfg.classification_labels
         if labels is None or "classifier.weight" not in self.params:
             raise ValueError("model has no classification head")
+        if pooling is None:
+            # HF BERT classifiers pool the [CLS] token; other models use the
+            # reference's last-token MODEL pooling
+            pooling = "CLS" if self.cfg.model_type == "bert" else "MODEL"
         v = self.embed_tokens(self.tokenizer.encode(text), pooling=pooling)
         w = _np.asarray(self.params["classifier.weight"], dtype=_np.float32)
         b = _np.asarray(

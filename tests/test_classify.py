@@ -1,0 +1,86 @@
+"""End-to-end BERT classification: Engine.classify vs torch softmax(logits)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def bert_classifier(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bert_cls")
+    from tokenizers import BertWordPieceTokenizer
+
+    tok = BertWordPieceTokenizer(lowercase=True)
+    corpus = [
+        "this movie was great and wonderful",
+        "terrible awful bad film",
+        "an average unremarkable production",
+    ]
+    tok.train_from_iterator(corpus * 10, vocab_size=200, show_progress=False)
+    tok.save(str(tmp / "tokenizer.json"))
+    vocab_size = tok.get_vocab_size()
+
+    from transformers import BertConfig, BertForSequenceClassification
+    from tests.helpers import save_torch_model
+
+    torch.manual_seed(11)
+    cfg = dict(
+        model_type="bert", hidden_size=64, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=128, vocab_size=vocab_size,
+        max_position_embeddings=64, type_vocab_size=2, layer_norm_eps=1e-12,
+        hidden_act="gelu", num_labels=2,
+        id2label={0: "negative", 1: "positive"},
+        label2id={"negative": 0, "positive": 1},
+    )
+    m = BertForSequenceClassification(
+        BertConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp, cfg)
+    return tmp, m
+
+
+def test_classify_matches_torch(bert_classifier):
+    model_dir, hf = bert_classifier
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.tokenizers import load_tokenizer
+    from jlama_tpu.runtime.engine import Engine
+
+    params, cfg = load_params(model_dir, float_dtype=jnp.float32)
+    tokenizer = load_tokenizer(model_dir)
+    eng = Engine(params, cfg, tokenizer, max_seq_len=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+
+    text = "this movie was great"
+    probs = eng.classify(text)
+    assert set(probs) == {"negative", "positive"}
+    assert abs(sum(probs.values()) - 1.0) < 1e-5
+
+    ids = tokenizer.encode(text)
+    with torch.no_grad():
+        logits = hf(torch.tensor([ids], dtype=torch.long)).logits[0].numpy()
+    ref = np.exp(logits - logits.max())
+    ref /= ref.sum()
+    np.testing.assert_allclose(
+        [probs["negative"], probs["positive"]], ref, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_embed_poolings(bert_classifier):
+    model_dir, _ = bert_classifier
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.tokenizers import load_tokenizer
+    from jlama_tpu.runtime.engine import Engine
+
+    params, cfg = load_params(model_dir, float_dtype=jnp.float32)
+    eng = Engine(params, cfg, load_tokenizer(model_dir), max_seq_len=64,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    for pooling in ("AVG", "MAX", "SUM"):
+        v = eng.embed("great movie", pooling=pooling)
+        assert v.shape == (64,)
+        if pooling != "SUM":
+            pass
+        # AVG/MAX are L2-normalized
+    v = eng.embed("great movie", pooling="AVG")
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
