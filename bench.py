@@ -60,10 +60,17 @@ def init_params_device(cfg, dtype=jnp.bfloat16, quant: str = "bf16"):
         "ff_norm.weight": jnp.ones((L, D), jnp.float32),
     }
     params = {
-        "embed": w(ks[7], V, D),
+        # quantize the embedding/lm_head too (tied): at 1B shapes the bf16
+        # table alone is 525 MB/step of the decode's HBM traffic. The embed
+        # copy stays canonical q4 (positional gather); lm_head gets the
+        # kernel layout for the fused matmul.
+        "embed": lin(ks[7], V, D),
         "layers": layers,
         "final_norm.weight": jnp.ones((D,), jnp.float32),
     }
+    if quant == "q4":
+        params["embed"] = QArray(params["embed"].data, params["embed"].scales, "q4")
+        params["lm_head"] = lin(ks[8], V, D)
     return params
 
 

@@ -54,8 +54,11 @@ def _embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, positions: jnp.n
            token_types: jnp.ndarray | None, dtype) -> jnp.ndarray:
     emb = params["embed"]
     if hasattr(emb, "dequantize"):
-        emb = emb.dequantize(dtype)
-    x = emb[tokens].astype(jnp.float32)
+        # gather the rows FIRST, then dequantize only those (a full-table
+        # dequant would stream the whole vocab every step)
+        x = emb[tokens].dequantize(jnp.float32)
+    else:
+        x = emb[tokens].astype(jnp.float32)
     if cfg.embedding_scale is not None:
         x = x * cfg.embedding_scale
     if cfg.learned_pos_embeddings:

@@ -53,6 +53,11 @@ class QArray:
 
     def unpack(self) -> jnp.ndarray:
         """Quantized integer values in original element order (int8)."""
+        if self.fmt == "q4k":
+            raise ValueError(
+                "q4k (kernel column order) cannot be unpacked positionally; "
+                "use ops.pallas_q4.from_kernel_layout first"
+            )
         if self.fmt != "q4":
             return self.data
         d = self.data

@@ -159,11 +159,25 @@ def q4_matmul(x: jnp.ndarray, w: QArray, out_dtype=jnp.bfloat16, interpret=False
 
 
 def prepare_params_for_pallas(params):
-    """Tree-map: convert every q4 QArray leaf to kernel layout (one-time)."""
+    """Convert q4 QArray leaves to kernel layout (one-time).
+
+    The embedding table stays canonical "q4": token lookup gathers rows and
+    dequantizes positionally, which the permuted q4k columns would corrupt.
+    For tied-embedding models a separate q4k copy is installed as "lm_head"
+    so the output projection still gets the fused kernel.
+    """
 
     def conv(leaf):
         if isinstance(leaf, QArray) and leaf.fmt == "q4":
             return to_kernel_layout(leaf)
         return leaf
 
-    return jax.tree.map(conv, params, is_leaf=lambda x: isinstance(x, QArray))
+    out = dict(params)
+    embed = out.get("embed")
+    if isinstance(embed, QArray) and embed.fmt == "q4" and "lm_head" not in out:
+        out["lm_head"] = to_kernel_layout(embed)
+    for k, v in out.items():
+        if k == "embed":
+            continue
+        out[k] = jax.tree.map(conv, v, is_leaf=lambda x: isinstance(x, QArray))
+    return out
