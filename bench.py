@@ -12,6 +12,15 @@ import os
 import time
 
 import jax
+
+# persistent XLA compilation cache: decode-graph compiles through the remote
+# compile service take minutes; cached recompiles take seconds
+os.makedirs(os.path.expanduser("~/.cache/jlama_tpu/xla"), exist_ok=True)
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jlama_tpu/xla")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from jlama_tpu.models.init import llama_1b_config

@@ -30,7 +30,21 @@ def _resolve_model(name: str) -> Path:
     raise SystemExit(f"model not found: {name} (looked in {home})")
 
 
+def _enable_compile_cache() -> None:
+    import os
+
+    import jax
+
+    path = os.path.expanduser(
+        os.environ.get("JLAMA_COMPILE_CACHE", "~/.cache/jlama_tpu/xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _load_engine(args, for_serving: bool = False):
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from .models.loader import load_params
