@@ -6,7 +6,6 @@ any config can run without a checkpoint on disk.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

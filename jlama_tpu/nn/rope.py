@@ -14,7 +14,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig, RopeScaling
+from ..config import ModelConfig
 
 
 def rope_frequencies(cfg: ModelConfig) -> np.ndarray:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..nn.qarray import QArray, BLOCK
+from ..nn.qarray import QArray
 
 _USE_PALLAS = False
 

@@ -19,8 +19,7 @@ from __future__ import annotations
 import os
 
 import jax
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def initialize_cluster(

@@ -14,11 +14,8 @@ storage partitioning); use this when stage *compute* should overlap.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import ModelConfig
 

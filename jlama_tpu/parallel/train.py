@@ -15,8 +15,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
-from ..models.base import forward_logits
-from .mesh import param_shardings
 
 
 def loss_fn(params, cfg: ModelConfig, tokens, positions, hidden_sharding=None):

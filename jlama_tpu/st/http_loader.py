@@ -9,7 +9,6 @@ pulls just its shard of each weight. Parts are cached on disk and reused.
 
 from __future__ import annotations
 
-import json
 import struct
 import urllib.request
 from pathlib import Path
