@@ -152,3 +152,40 @@ def test_session_affinity_header(server):
 
     body = _run(_with_client(server, fn))
     assert body["usage"]["completion_tokens"] >= 1
+
+
+def test_tools_passthrough_and_parse(server):
+    """Tools render into the prompt; a tool-shaped output becomes tool_calls."""
+
+    async def fn(client):
+        resp = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "What is the weather?"}],
+                "max_tokens": 4,
+                "temperature": 0,
+                "tools": [
+                    {
+                        "type": "function",
+                        "function": {
+                            "name": "get_weather",
+                            "description": "Get weather",
+                            "parameters": {
+                                "type": "object",
+                                "properties": {"city": {"type": "string"}},
+                                "required": ["city"],
+                            },
+                        },
+                    }
+                ],
+            },
+        )
+        assert resp.status == 200
+        return await resp.json()
+
+    body = _run(_with_client(server, fn))
+    # tiny random model won't emit tool JSON; finish must be a normal reason
+    assert body["choices"][0]["finish_reason"] in ("stop", "length", "tool_calls")
+    # but the unit-level extraction path is covered in test_prompt; here we
+    # assert the request round-trips cleanly with tools attached
+    assert body["object"] == "chat.completion"
