@@ -13,13 +13,9 @@ import time
 
 import jax
 
-# persistent XLA compilation cache: decode-graph compiles through the remote
-# compile service take minutes; cached recompiles take seconds
-os.makedirs(os.path.expanduser("~/.cache/jlama_tpu/xla"), exist_ok=True)
-jax.config.update(
-    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jlama_tpu/xla")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from jlama_tpu.utils.xla_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 import jax.numpy as jnp
 

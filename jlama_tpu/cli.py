@@ -33,14 +33,11 @@ def _resolve_model(name: str) -> Path:
 def _enable_compile_cache() -> None:
     import os
 
-    import jax
+    from .utils.xla_cache import enable_persistent_cache
 
-    path = os.path.expanduser(
+    enable_persistent_cache(
         os.environ.get("JLAMA_COMPILE_CACHE", "~/.cache/jlama_tpu/xla")
     )
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _load_engine(args, for_serving: bool = False):

@@ -19,12 +19,15 @@ def sample_token(
     temperature: float | jnp.ndarray = 0.0,
     top_k: int = 0,
     top_p: float | jnp.ndarray = 1.0,
+    keys: jax.Array | None = None,  # optional per-row keys [B, ...]
 ) -> jnp.ndarray:
     """Sample one token per row. Returns [B] int32.
 
     temperature/top_p may be traced scalars OR per-row [B] arrays (for
     continuous batching where each sequence carries its own sampling
-    params); temperature 0 → greedy (argmax) for that row.
+    params); temperature 0 → greedy (argmax) for that row. When `keys` is
+    given each row draws from its own PRNG stream (per-request `seed`
+    reproducibility under continuous batching); `key` is ignored.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -63,5 +66,8 @@ def sample_token(
         )
         scaled = jnp.where(scaled < threshold, -jnp.inf, scaled)
 
-    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    if keys is not None:
+        sampled = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
+    else:
+        sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temperature == 0.0, greedy, sampled)

@@ -39,6 +39,7 @@ from .engine import FinishReason, Response, _bucket
 
 class RequestState(str, Enum):
     QUEUED = "QUEUED"
+    PREFILLING = "PREFILLING"
     RUNNING = "RUNNING"
     DONE = "DONE"
 
@@ -50,6 +51,10 @@ class GenRequest:
     temperature: float = 0.0
     top_p: float = 1.0
     stop_ids: set[int] = field(default_factory=set)
+    stop_strings: list[str] = field(default_factory=list)
+    seed: int | None = None  # per-request sampling seed (OpenAI `seed`)
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     on_token: Callable[[int], None] | None = None
     session_id: str | None = None  # KV affinity (X-Jlama-Session semantics)
     id: str = field(default_factory=lambda: str(uuid.uuid4()))
@@ -64,11 +69,17 @@ class GenRequest:
     t_start: float = 0.0
     t_first: float = 0.0
     t_done: float = 0.0
+    # chunked-prefill progress: full token list and next index to prefill
+    _pf_ids: list[int] = field(default_factory=list)
+    _pf_done: int = 0
+    text_override: str | None = None  # set when a stop string truncates output
     done_event: threading.Event = field(default_factory=threading.Event)
 
     def to_response(self, tokenizer=None) -> Response:
         text = ""
-        if tokenizer is not None:
+        if self.text_override is not None:
+            text = self.text_override
+        elif tokenizer is not None:
             visible = [t for t in self.out_ids if t not in self.stop_ids]
             text = tokenizer.decode(visible)
         return Response(
@@ -101,6 +112,8 @@ class BatchScheduler:
         compute_dtype=jnp.bfloat16,
         seed: int = 0,
         mesh=None,
+        prefill_chunk: int = 256,
+        max_sessions: int = 64,
     ):
         self.params = params
         self.cfg = cfg
@@ -129,10 +142,17 @@ class BatchScheduler:
         self.pending: queue.Queue[GenRequest] = queue.Queue()
         # session resume state: session_id -> (position, pending_token)
         # pages stay allocated under the session's kv key between requests
-        # (cf. KvBufferCache session map + Coordinator.sessionPositions)
+        # (cf. KvBufferCache session map + Coordinator.sessionPositions);
+        # insertion order == LRU order (entries re-inserted on use)
         self.session_state: dict[str, tuple[int, int | None]] = {}
         self._suspended: dict[str, tuple] = {}
+        self.max_sessions = max_sessions
+        self.prefill_chunk = prefill_chunk
         self.key = jax.random.PRNGKey(seed)
+        self._rng = np.random.default_rng(seed)
+        # per-slot generated-token counts for presence/frequency penalties;
+        # lives on device, scatter-updated inside the decode step
+        self.counts = jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
         self._lock = threading.Lock()
         self._running = False
         self._thread: threading.Thread | None = None
@@ -144,19 +164,34 @@ class BatchScheduler:
             )
             return cache[0]
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnums=(8,))
-        def _decode(params, state: PagedKVState, tokens, positions, pts, key,
-                    temps, top_ps, all_top_p_one):
+        @partial(jax.jit, donate_argnums=(1, 9), static_argnums=(10, 11))
+        def _decode(params, state: PagedKVState, tokens, positions, pts,
+                    seeds, steps, temps, top_ps, counts, all_top_p_one,
+                    use_penalties, pres_pens, freq_pens):
             hidden, cache = forward_hidden(
                 params, cfg, tokens, positions, (state, pts), dtype=compute_dtype
             )
             logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
+            if use_penalties:
+                # OpenAI presence/frequency penalties over generated tokens
+                cf = counts.astype(jnp.float32)
+                logits = logits - freq_pens[:, None] * cf
+                logits = logits - pres_pens[:, None] * (cf > 0)
+            # per-row PRNG stream: key(seed) folded with the step index, so a
+            # request with an explicit seed reproduces its sample sequence
+            # regardless of batch composition
+            keys = jax.vmap(
+                lambda s, t: jax.random.fold_in(jax.random.PRNGKey(s), t)
+            )(seeds, steps)
             # statically skip the full-vocab nucleus sort when no request
             # uses top_p this iteration
             toks = sample_token(
-                logits, key, temps, top_p=1.0 if all_top_p_one else top_ps
+                logits, None, temps,
+                top_p=1.0 if all_top_p_one else top_ps, keys=keys,
             )
-            return toks, cache[0]
+            if use_penalties:
+                counts = counts.at[jnp.arange(counts.shape[0]), toks].add(1)
+            return toks, cache[0], counts
 
         self._prefill = _prefill
         self._decode = _decode
@@ -184,6 +219,34 @@ class BatchScheduler:
     def _kv_key(self, req: GenRequest) -> str:
         return req.session_id or req.id
 
+    def _touch_session(self, session_id: str) -> None:
+        """Move a session to most-recently-used position (dict order = LRU)."""
+        if session_id in self.session_state:
+            self.session_state[session_id] = self.session_state.pop(session_id)
+
+    def _idle_sessions_lru(self) -> list[str]:
+        active = {
+            r.session_id for r in self.slots if r is not None and r.session_id
+        }
+        return [s for s in self.session_state if s not in active]
+
+    def _evict_for_pages(self) -> bool:
+        """Free HBM pages by suspending the least-recently-used idle session
+        to host RAM. Returns True if something was evicted."""
+        for sid in self._idle_sessions_lru():
+            if self.suspend_session(sid):
+                return True
+        return False
+
+    def _ensure_capacity_evicting(self, key: str, upto: int, ps: int) -> bool:
+        while True:
+            try:
+                self.kv.alloc.ensure_capacity(key, upto, ps)
+                return True
+            except MemoryError:
+                if not self._evict_for_pages():
+                    return False
+
     def _admit(self) -> None:
         for i in range(self.n_slots):
             if self.slots[i] is not None:
@@ -197,10 +260,14 @@ class BatchScheduler:
             # token and continue from the stored position
             prompt_ids = list(req.prompt_ids)
             start_pos = 0
-            if req.session_id and req.session_id in self.session_state:
-                start_pos, pending_tok = self.session_state[req.session_id]
-                if pending_tok is not None:
-                    prompt_ids = [pending_tok] + prompt_ids
+            if req.session_id:
+                if req.session_id in self._suspended:
+                    self.resume_session(req.session_id)
+                if req.session_id in self.session_state:
+                    start_pos, pending_tok = self.session_state[req.session_id]
+                    if pending_tok is not None:
+                        prompt_ids = [pending_tok] + prompt_ids
+                    self._touch_session(req.session_id)
 
             n = len(prompt_ids)
             if n == 0 or start_pos + n >= self.max_seq_len:
@@ -210,35 +277,65 @@ class BatchScheduler:
                 continue
             ps = self.kv.page_size
             key = self._kv_key(req)
-            try:
-                self.kv.alloc.ensure_capacity(key, start_pos + n, ps)
-            except MemoryError:
+            if not self._ensure_capacity_evicting(key, start_pos + n, ps):
                 self.pending.put(req)  # retry when pages free up
                 return
-            # prefill all but the last prompt token (bucketed)
-            if n > 1:
-                ctx = prompt_ids[:-1]
-                bucket = _bucket(len(ctx))
-                room = self.kv.max_pages_per_seq * ps - start_pos
+            if req.seed is None:
+                # unseeded requests still get a fixed per-request stream so
+                # batch composition never perturbs their samples
+                req.seed = int(self._rng.integers(0, 2**31 - 1))
+            # prefill runs in <=prefill_chunk-token chunks interleaved with
+            # decode steps (cf. the reference's <=256-token batchForward
+            # chunks, AbstractModel.java:295-312) so admissions do not stall
+            # the running batch
+            req._pf_ids = prompt_ids
+            req._pf_done = 0
+            req.position = start_pos
+            req.slot = i
+            req.state = RequestState.PREFILLING
+            self.slots[i] = req
+            if req.presence_penalty or req.frequency_penalty:
+                self.counts = self.counts.at[i].set(0)
+
+    def _advance_prefill(self) -> None:
+        """Run at most ONE prefill chunk (for the earliest-admitted request
+        still prefilling), so decode inter-token latency stays bounded."""
+        for req in self.slots:
+            if req is None or req.state != RequestState.PREFILLING:
+                continue
+            ids = req._pf_ids
+            remaining = len(ids) - 1 - req._pf_done  # last token goes to decode
+            if remaining > 0:
+                chunk = min(self.prefill_chunk, remaining)
+                bucket = chunk if chunk == self.prefill_chunk else _bucket(chunk)
+                ps = self.kv.page_size
+                key = self._kv_key(req)
+                room = self.kv.max_pages_per_seq * ps - req.position
                 if bucket > room:
-                    bucket = len(ctx)
-                self.kv.alloc.ensure_capacity(key, start_pos + bucket, ps)
+                    bucket = chunk
+                if not self._ensure_capacity_evicting(
+                    key, req.position + bucket, ps
+                ):
+                    return  # no pages free; retry next step
+                ctx = ids[req._pf_done : req._pf_done + chunk]
                 toks = np.zeros((1, bucket), dtype=np.int32)
                 toks[0, : len(ctx)] = ctx
-                pos = np.arange(start_pos, start_pos + bucket, dtype=np.int32)[
-                    None, :
-                ]
+                pos = np.arange(
+                    req.position, req.position + bucket, dtype=np.int32
+                )[None, :]
                 pt = jnp.asarray(self.kv.page_table([key]))
                 self.kv.state = self._prefill(
                     self.params, self.kv.state, jnp.asarray(toks),
                     jnp.asarray(pos), pt,
                 )
-            req.position = start_pos + n - 1
-            req.cur_token = prompt_ids[-1]
-            req.slot = i
-            req.state = RequestState.RUNNING
-            req.t_first = time.perf_counter()
-            self.slots[i] = req
+                req._pf_done += chunk
+                req.position += chunk
+            if req._pf_done >= len(ids) - 1:
+                req.cur_token = ids[-1]
+                req.state = RequestState.RUNNING
+                req.t_first = time.perf_counter()
+                req._pf_ids = []
+            return  # at most one chunk per scheduler iteration
 
     def _finish(self, req: GenRequest, reason: FinishReason) -> None:
         req.finish = reason
@@ -249,7 +346,13 @@ class BatchScheduler:
         GLOBAL_METRICS.record(req.to_response())
         if req.session_id:
             # keep the session's pages; remember where to resume
+            self.session_state.pop(req.session_id, None)
             self.session_state[req.session_id] = (req.position, req.cur_token)
+            # bound live sessions: LRU-suspend to host beyond max_sessions
+            while len(self.session_state) > self.max_sessions:
+                idle = self._idle_sessions_lru()
+                if not idle or not self.suspend_session(idle[0]):
+                    break
         else:
             self.kv.alloc.release(self._kv_key(req))
         self.slots[req.slot] = None
@@ -316,12 +419,34 @@ class BatchScheduler:
         self.session_state[session_id] = state
         return True
 
+    def _check_stop_strings(self, r: GenRequest) -> bool:
+        """True if one of the request's stop strings just completed; sets
+        `text_override` to the text truncated at the first stop occurrence."""
+        if not r.stop_strings or self.tokenizer is None:
+            return False
+        # a stop string of L chars spans at most L tokens, so decoding the
+        # last L+2 tokens always covers an occurrence that ENDS at the
+        # newest token (any earlier occurrence was caught on a prior step)
+        window = max(len(s) for s in r.stop_strings) + 2
+        tail = self.tokenizer.decode(r.out_ids[-window:])
+        if not any(s in tail for s in r.stop_strings):
+            return False
+        stops = r.stop_ids or set(self.cfg.eos_token_ids)
+        full = self.tokenizer.decode([t for t in r.out_ids if t not in stops])
+        cut = min((i for i in (full.find(s) for s in r.stop_strings) if i >= 0),
+                  default=len(full))
+        r.text_override = full[:cut]
+        return True
+
     def step(self) -> int:
-        """One scheduler iteration. Returns number of active sequences."""
+        """One scheduler iteration: admit, one prefill chunk, one decode."""
         self._admit()
-        active = [r for r in self.slots if r is not None]
-        if not active:
-            return 0
+        self._advance_prefill()
+        running = [r for r in self.slots
+                   if r is not None and r.state == RequestState.RUNNING]
+        if not running:
+            # nothing decoding: let prefills catch up without idling
+            return len([r for r in self.slots if r is not None])
 
         B = self.n_slots
         ps = self.kv.page_size
@@ -329,37 +454,51 @@ class BatchScheduler:
         positions = np.zeros((B, 1), dtype=np.int32)
         temps = np.zeros(B, dtype=np.float32)
         top_ps = np.ones(B, dtype=np.float32)
+        seeds = np.zeros(B, dtype=np.int32)
+        steps = np.zeros(B, dtype=np.int32)
+        pres = np.zeros(B, dtype=np.float32)
+        freq = np.zeros(B, dtype=np.float32)
         seq_ids = ["__empty__"] * B
-        for r in self.slots:
-            if r is None:
-                continue
+        stalled: list[GenRequest] = []
+        for r in list(running):
             # make sure the page holding `position` exists before the write
             key = self._kv_key(r)
-            self.kv.alloc.ensure_capacity(key, r.position + 1, ps)
+            if not self._ensure_capacity_evicting(key, r.position + 1, ps):
+                # out of pages even after eviction: this row sits the step
+                # out (its slot runs the dummy sequence on the scratch page)
+                stalled.append(r)
+                running.remove(r)
+                continue
             tokens[r.slot, 0] = r.cur_token
             positions[r.slot, 0] = r.position
             temps[r.slot] = r.temperature
             top_ps[r.slot] = r.top_p
+            seeds[r.slot] = r.seed or 0
+            steps[r.slot] = len(r.out_ids)
+            pres[r.slot] = r.presence_penalty
+            freq[r.slot] = r.frequency_penalty
             seq_ids[r.slot] = key
 
         pts = jnp.asarray(self.kv.page_table(seq_ids))
-        self.key, sub = jax.random.split(self.key)
-        toks, self.kv.state = self._decode(
+        use_pen = bool(np.any(pres != 0.0) or np.any(freq != 0.0))
+        toks, self.kv.state, self.counts = self._decode(
             self.params, self.kv.state, jnp.asarray(tokens),
-            jnp.asarray(positions), pts, sub, jnp.asarray(temps),
-            jnp.asarray(top_ps), bool(np.all(top_ps >= 1.0)),
+            jnp.asarray(positions), pts, jnp.asarray(seeds),
+            jnp.asarray(steps), jnp.asarray(temps), jnp.asarray(top_ps),
+            self.counts, bool(np.all(top_ps >= 1.0)), use_pen,
+            jnp.asarray(pres), jnp.asarray(freq),
         )
         toks_host = np.asarray(toks)
 
-        for r in list(self.slots):
-            if r is None:
-                continue
+        for r in running:
             nxt = int(toks_host[r.slot])
             r.position += 1
             r.cur_token = nxt
             r.out_ids.append(nxt)
             stops = r.stop_ids or set(self.cfg.eos_token_ids)
             if nxt in stops:
+                self._finish(r, FinishReason.STOP_TOKEN)
+            elif self._check_stop_strings(r):
                 self._finish(r, FinishReason.STOP_TOKEN)
             elif len(r.out_ids) >= r.max_new_tokens:
                 self._finish(r, FinishReason.MAX_TOKENS)

@@ -129,6 +129,14 @@ class OpenAIServer:
                 content_type="application/json",
             )
         stream = bool(body.get("stream", False))
+        n = int(body.get("n", 1) or 1)
+        if n != 1:
+            raise web.HTTPBadRequest(
+                text=json.dumps(
+                    {"error": {"message": "only n=1 is supported"}}
+                ),
+                content_type="application/json",
+            )
         prompt, tools = self._render_prompt(body)
         prompt_ids = self._encode(prompt)
         temperature = float(body.get("temperature", 0.9) or 0.0)
@@ -136,6 +144,11 @@ class OpenAIServer:
             body.get("max_tokens") or body.get("max_completion_tokens") or 1024
         )
         top_p = float(body.get("top_p", 1.0) or 1.0)
+        stop = body.get("stop")
+        stop_strings = (
+            [stop] if isinstance(stop, str) else [str(s) for s in stop or []]
+        )
+        seed = body.get("seed")
         rid = "chatcmpl-" + uuid.uuid4().hex[:24]
         created = int(time.time())
 
@@ -151,6 +164,10 @@ class OpenAIServer:
             max_new_tokens=max_tokens,
             temperature=temperature,
             top_p=top_p,
+            stop_strings=stop_strings,
+            seed=int(seed) if seed is not None else None,
+            presence_penalty=float(body.get("presence_penalty", 0.0) or 0.0),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0) or 0.0),
             on_token=on_token if stream else None,
             session_id=session_id,
         )
@@ -217,6 +234,11 @@ class OpenAIServer:
         stops = req.stop_ids or set(self.sched.cfg.eos_token_ids)
         pending_ids: list[int] = []
         emitted = 0
+        # with tools attached the output may be a tool invocation: hold text
+        # back until completion so the raw JSON never leaks as content
+        # (cf. non-streaming path; reference streams text only —
+        # OpenAIChatService.java:109-156 — this goes beyond it)
+        buffer_for_tools = bool(tools)
         while True:
             if req.done_event.is_set() and token_q.empty():
                 break
@@ -224,7 +246,7 @@ class OpenAIServer:
                 tok = await asyncio.wait_for(token_q.get(), timeout=0.1)
             except asyncio.TimeoutError:
                 continue
-            if tok in stops:
+            if tok in stops or buffer_for_tools:
                 continue
             pending_ids.append(tok)
             text = self.tokenizer.decode(pending_ids)
@@ -232,13 +254,45 @@ class OpenAIServer:
                 await send_chunk({"content": text})
                 emitted += len(pending_ids)
                 pending_ids = []
-        # flush remaining (request finished; include tokens not yet streamed)
-        final_ids = [t for t in req.out_ids[emitted:] if t not in stops]
-        if final_ids:
-            text = self.tokenizer.decode(final_ids)
-            if text:
-                await send_chunk({"content": text})
-        finish = "stop" if req.finish == FinishReason.STOP_TOKEN else "length"
+
+        resp = req.to_response(self.tokenizer)
+        tool_calls = (
+            extract_tool_calls(resp.response_text, tools) if tools else []
+        )
+        if tool_calls:
+            await send_chunk(
+                {
+                    "tool_calls": [
+                        {**tc.to_dict(), "index": i}
+                        for i, tc in enumerate(tool_calls)
+                    ]
+                }
+            )
+            finish = "tool_calls"
+        else:
+            if buffer_for_tools:
+                if resp.response_text:
+                    await send_chunk({"content": resp.response_text})
+            else:
+                # flush tokens not yet streamed
+                final_ids = [t for t in req.out_ids[emitted:] if t not in stops]
+                if req.text_override is None and final_ids:
+                    text = self.tokenizer.decode(final_ids)
+                    if text:
+                        await send_chunk({"content": text})
+                elif req.text_override is not None:
+                    # stop string hit: the truncated tail was never streamed;
+                    # emit whatever of the override the client hasn't seen
+                    seen = self.tokenizer.decode(
+                        [t for t in req.out_ids[:emitted] if t not in stops]
+                    )
+                    if req.text_override.startswith(seen):
+                        rest = req.text_override[len(seen):]
+                        if rest:
+                            await send_chunk({"content": rest})
+            finish = (
+                "stop" if req.finish == FinishReason.STOP_TOKEN else "length"
+            )
         await send_chunk({}, finish_reason=finish)
         await sse.write(b"data: [DONE]\n\n")
         await sse.write_eof()
@@ -257,11 +311,19 @@ class OpenAIServer:
             prompt = prompt[0] if prompt else ""
         prompt_ids = self._encode(prompt)
         loop = asyncio.get_running_loop()
+        stop = body.get("stop")
+        seed = body.get("seed")
         req = GenRequest(
             prompt_ids=prompt_ids,
             max_new_tokens=int(body.get("max_tokens", 128)),
             temperature=float(body.get("temperature", 0.0) or 0.0),
             top_p=float(body.get("top_p", 1.0) or 1.0),
+            stop_strings=(
+                [stop] if isinstance(stop, str) else [str(s) for s in stop or []]
+            ),
+            seed=int(seed) if seed is not None else None,
+            presence_penalty=float(body.get("presence_penalty", 0.0) or 0.0),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0) or 0.0),
         )
         self.sched.submit(req)
         await loop.run_in_executor(None, req.done_event.wait)
