@@ -109,6 +109,9 @@ class SafeTensorIndex:
         self._files: dict[str, SafeTensorFile] = {}
         self.weight_map: dict[str, str] = {}
         self.metadata: dict = {}
+        # bytes of tensor payload handed out by load(); shard-local loading
+        # is verified by asserting this stays < the full checkpoint size
+        self.bytes_loaded = 0
 
         index = self.dir / "model.safetensors.index.json"
         if index.exists():
@@ -139,7 +142,9 @@ class SafeTensorIndex:
         return self._file(self.weight_map[name]).info(name)
 
     def load(self, name: str, row_range=None, col_range=None) -> np.ndarray:
-        return self._file(self.weight_map[name]).load(name, row_range, col_range)
+        arr = self._file(self.weight_map[name]).load(name, row_range, col_range)
+        self.bytes_loaded += arr.nbytes
+        return arr
 
     def load_quantized(
         self, name: str, row_range=None, col_range=None

@@ -25,7 +25,8 @@ enable_persistent_cache()
 from jlama_tpu.ops.pallas_q4 import q4k_matmul_2d, split_x
 
 
-def _grid_call(kernel, m, k, n, bn, extra_in_specs, out_dtype=jnp.bfloat16):
+def _grid_call(kernel, m, k, n, bn, extra_in_specs, out_dtype=jnp.bfloat16,
+               semantics="arbitrary"):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -36,7 +37,7 @@ def _grid_call(kernel, m, k, n, bn, extra_in_specs, out_dtype=jnp.bfloat16):
             pl.BlockSpec((bn, k // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=(semantics,)),
     )
 
 
@@ -163,12 +164,15 @@ def v4(x, packed, scales, block_n=512):
 # ---- v7: byte-direct dot (min VPU ops/byte) ------------------------------
 # lo*xl + hi*xh == byte*xl + hi*(xh - 16*xl); byte feeds a dot directly
 # (exact in bf16: integers <= 255), only the hi nibble is extracted
-# (floor(byte/16)); the -8 shift is the usual rank-1 correction.
-# ~5 VPU ops/byte: convert, mul, floor, 2x scale-mult.
+# (int shift, like v2cur); the -8 shift is the usual rank-1 correction.
+# ~6 VPU ops/byte: convert, shift, 2x astype, 2x scale-mult (saves the
+# `and` + one astype path vs v2cur).
 
-def _k_v7(xl_ref, xh16_ref, xb_ref, wp_ref, s_ref, o_ref, *, out_dtype):
-    wf = wp_ref[...].astype(jnp.int32).astype(jnp.bfloat16)  # byte value, exact
-    hi = jnp.floor(wf * jnp.bfloat16(0.0625))
+def _k_v7(xl_ref, xh16_ref, xb_ref, wp_ref, s_ref, o_ref, *, out_dtype,
+          semantics="arbitrary"):
+    w32 = wp_ref[...].astype(jnp.int32)
+    wf = w32.astype(jnp.bfloat16)  # byte value, exact in bf16
+    hi = (w32 >> 4).astype(jnp.bfloat16)
     s = s_ref[...]
     srep = pltpu.repeat(s, 16, axis=1)
     d = jax.lax.dot_general(
@@ -186,8 +190,8 @@ def _k_v7(xl_ref, xh16_ref, xb_ref, wp_ref, s_ref, o_ref, *, out_dtype):
     o_ref[...] = (d - 8.0 * corr).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
-def v7(x, packed, scales, block_n=512):
+@functools.partial(jax.jit, static_argnames=("block_n", "semantics"))
+def v7(x, packed, scales, block_n=512, semantics="arbitrary"):
     m, k = x.shape
     n = packed.shape[0]
     bn = min(block_n, n)
@@ -203,8 +207,117 @@ def v7(x, packed, scales, block_n=512):
         pl.BlockSpec((m, k // 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     return _grid_call(
-        functools.partial(_k_v7, out_dtype=jnp.bfloat16), m, k, n, bn, xspec
+        functools.partial(_k_v7, out_dtype=jnp.bfloat16), m, k, n, bn, xspec,
+        semantics=semantics,
     )(xl, xh16, xb, packed, scales.astype(jnp.bfloat16))
+
+
+# ---- i4x: XLA-native int4 storage, dequant fused by XLA (no Pallas) -------
+
+def _prep_i4(packed, scales):
+    from jlama_tpu.quant.blockq import q4_unpack_np
+    import numpy as _np
+
+    vals = q4_unpack_np(_np.asarray(packed))  # int8 [n, k] in [-8, 7]
+    return (
+        jnp.asarray(vals.astype(_np.int8)).astype(jnp.int4),
+        jnp.asarray(scales, jnp.bfloat16),
+    )
+
+
+@jax.jit
+def i4x(x, w4, ws):
+    n, k = w4.shape
+    nb = k // 32
+    wf = w4.astype(jnp.bfloat16).reshape(n, nb, 32) * ws[:, :, None]
+    return jax.lax.dot_general(
+        x, wf.reshape(n, k), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+
+
+# ---- diagnostics ----------------------------------------------------------
+# dot2: 2 full dots on the converted byte matrix (no nibble extraction) —
+# isolates MXU-ingest cost of the two plane dots from VPU extraction cost.
+
+def _k_dot2(xl_ref, wp_ref, s_ref, o_ref):
+    wf = wp_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+    srep = pltpu.repeat(s_ref[...], 16, axis=1)
+    d = jax.lax.dot_general(
+        xl_ref[...], wf * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d += jax.lax.dot_general(
+        xl_ref[...], wf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = d.astype(jnp.bfloat16)
+
+
+@jax.jit
+def dot2(x, packed, scales):
+    m, k = x.shape
+    n = packed.shape[0]
+    bn = min(512, n)
+    while n % bn:
+        bn //= 2
+    xl = x[:, : k // 2].astype(jnp.bfloat16)
+    xspec = [pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    return _grid_call(_k_dot2, m, k, n, bn, xspec)(
+        xl, packed, scales.astype(jnp.bfloat16)
+    )
+
+
+# di8: int8 x int8 full-K dot (feasibility + ingest-rate probe for a w8a8
+# path; numerically unrelated to JQ4 — no correctness check)
+
+def _k_di8(xq_ref, wp_ref, s_ref, o_ref):
+    d = jax.lax.dot_general(
+        xq_ref[...], wp_ref[...].astype(jnp.int8), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[...] = (d.astype(jnp.float32) + s_ref[0, 0].astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+
+
+@jax.jit
+def di8(x, packed, scales):
+    m, k = x.shape
+    n = packed.shape[0]
+    bn = min(512, n)
+    while n % bn:
+        bn //= 2
+    xq = jnp.clip(x[:, : k // 2].astype(jnp.float32) * 16, -127, 127).astype(
+        jnp.int8
+    )
+    xspec = [pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    return _grid_call(_k_di8, m, k, n, bn, xspec)(
+        xq, packed, scales.astype(jnp.bfloat16)
+    )
+
+
+# v2par: current kernel, parallel grid semantics
+
+@jax.jit
+def v2par(x, packed, scales):
+    from jlama_tpu.ops.pallas_q4 import _q4_matmul_kernel
+
+    m, k = x.shape
+    n = packed.shape[0]
+    bn = min(512, n)
+    while n % bn:
+        bn //= 2
+    xl, xh, xb = split_x(x.astype(jnp.bfloat16))
+    xspec = [
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return _grid_call(
+        functools.partial(_q4_matmul_kernel, out_dtype=jnp.bfloat16),
+        m, k, n, bn, xspec, semantics="parallel",
+    )(xl, xh, xb, packed, scales.astype(jnp.bfloat16))
 
 
 # ---- stream: read-bandwidth roofline (convert + matvec, no dequant math) ----
@@ -257,7 +370,7 @@ def relay_floor(x):
     return _RELAY_FLOOR
 
 
-def bench(fn, x, packed, scales, bytes_w):
+def bench(fn, x, wops, bytes_w):
     """Chain kernel calls inside one jit (feed a scalar of the output back
     into x so iterations serialize) with enough iterations that kernel time
     dominates the relay overhead, which is also measured and subtracted."""
@@ -268,32 +381,51 @@ def bench(fn, x, packed, scales, bytes_w):
     iters = int(min(3000, max(64, 10 * floor / est)))
 
     @jax.jit
-    def loop(x, packed, scales):
+    def loop(x, *wops):
         def body(i, x):
-            y = fn(x, packed, scales)
+            y = fn(x, *wops)
             return x + y[0, 0].astype(x.dtype) * jnp.bfloat16(1e-24)
 
         return jax.lax.fori_loop(0, iters, body, x)
 
-    out = loop(x, packed, scales)
+    out = loop(x, *wops)
     np.asarray(out)
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
-        out = loop(x, packed, scales)
+        out = loop(x, *wops)
         np.asarray(out)
         t = time.perf_counter() - t0
         best = t if best is None else min(best, t)
     return max(best - floor, 1e-9) / iters
 
 
+def _id_prep(packed, scales):
+    return (packed, scales)
+
+
+# name -> (prep, fn, rel_tol); prep runs once (load-time repack), fn is timed
 VARIANTS = {
-    "v2cur": lambda x, p, s: q4k_matmul_2d(x, p, s),
-    "v3a": v3a,
-    "v3b": v3b,
-    "v4": v4,
-    "v7": v7,
-    "stream": stream,
+    "v2cur": (_id_prep, lambda x, p, s: q4k_matmul_2d(x, p, s), 2e-2),
+    "v2p1k": (
+        _id_prep,
+        lambda x, p, s: q4k_matmul_2d(x, p, s, block_n=1024),
+        2e-2,
+    ),
+    "v3a": (_id_prep, v3a, 2e-2),
+    "v3b": (_id_prep, v3b, 2e-2),
+    "v4": (_id_prep, v4, 2e-2),
+    "v7": (_id_prep, v7, 2e-2),
+    "v7p": (
+        _id_prep,
+        lambda x, p, s: v7(x, p, s, block_n=1024, semantics="parallel"),
+        2e-2,
+    ),
+    "i4x": (_prep_i4, i4x, 2e-2),
+    "dot2": (_id_prep, dot2, None),
+    "di8": (_id_prep, di8, None),
+    "v2par": (_id_prep, v2par, 2e-2),
+    "stream": (_id_prep, stream, None),
 }
 
 
@@ -315,15 +447,16 @@ def main():
         yref = np.asarray(q4k_matmul_2d(x, packed, scales)).astype(np.float32)
         row = [f"[{n:>7}x{k}]"]
         for name in names:
-            fn = VARIANTS[name]
+            prep, fn, tol = VARIANTS[name]
             try:
-                y = np.asarray(fn(x, packed, scales)).astype(np.float32)
-                if name not in ("stream",):
+                wops = prep(packed, scales)
+                y = np.asarray(fn(x, *wops)).astype(np.float32)
+                if tol is not None:
                     rel = np.abs(y - yref).max() / (np.abs(yref).max() + 1e-9)
-                    if rel > 2e-2:
+                    if rel > tol:
                         row.append(f"{name}: WRONG({rel:.1e})")
                         continue
-                t = bench(VARIANTS[name], x, packed, scales, bytes_w)
+                t = bench(fn, x, wops, bytes_w)
                 row.append(f"{name} {t*1e6:7.1f}us {bytes_w/t/1e9:6.1f}GB/s")
             except Exception as e:  # noqa: BLE001
                 row.append(f"{name}: FAIL({type(e).__name__})")
