@@ -38,6 +38,13 @@ def _enable_compile_cache() -> None:
     enable_persistent_cache(
         os.environ.get("JLAMA_COMPILE_CACHE", "~/.cache/jlama_tpu/xla")
     )
+    # honor JAX_PLATFORMS even on machines whose sitecustomize force-selects
+    # an accelerator platform after env parsing (e.g. the axon TPU relay)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def _load_engine(args, for_serving: bool = False):

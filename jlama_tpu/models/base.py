@@ -230,6 +230,72 @@ def forward_hidden(
     return x, new_cache
 
 
+def _concat_rows(ws):
+    """Concatenate weights along the output-row axis (works for [*, out, in]
+    jnp arrays and QArrays of any fmt — q4/q8/q4k packing and block scales are
+    all per-row along the input axis, so row concat never crosses a block)."""
+    from ..nn.qarray import QArray
+
+    if isinstance(ws[0], QArray):
+        axis = ws[0].data.ndim - 2
+        return QArray(
+            jnp.concatenate([w.data for w in ws], axis=axis),
+            jnp.concatenate([w.scales for w in ws], axis=axis),
+            ws[0].fmt,
+        )
+    return jnp.concatenate(ws, axis=ws[0].ndim - 2)
+
+
+def _fuse_layer_dict(d: dict) -> dict:
+    from ..nn.qarray import QArray
+
+    out = dict(d)
+    qkv = [d.get("wq"), d.get("wk"), d.get("wv")]
+    fmts = {w.fmt if isinstance(w, QArray) else None for w in qkv if w is not None}
+    if all(w is not None for w in qkv) and len(fmts) == 1:
+        out["wqkv"] = _concat_rows(qkv)
+        biases = [d.get("wq.bias"), d.get("wk.bias"), d.get("wv.bias")]
+        if all(b is not None for b in biases):
+            out["wqkv.bias"] = jnp.concatenate(biases, axis=-1)
+        for k in ("wq", "wk", "wv", "wq.bias", "wk.bias", "wv.bias"):
+            out.pop(k, None)
+    if (
+        "w1" in d
+        and "w3" in d
+        and "w1.bias" not in d
+        and (
+            isinstance(d["w1"], QArray) == isinstance(d["w3"], QArray)
+            and (
+                not isinstance(d["w1"], QArray)
+                or d["w1"].fmt == d["w3"].fmt
+            )
+        )
+    ):
+        out["w13"] = _concat_rows([d["w1"], d["w3"]])
+        for k in ("w1", "w3"):
+            out.pop(k, None)
+    return out
+
+
+def fuse_params(params: dict) -> dict:
+    """Fuse QKV into one [qdim+2*kvdim, D] matmul and gate/up into one
+    [2H, D] matmul (one-time concat; numerics unchanged — the same rows hit
+    the same reduction).
+
+    TPU-first replacement for the reference's per-projection GEMM calls
+    (CausalSelfAttention.java:176-192, MLPBlock.java:116-127): decode (M=1)
+    is launch- and bandwidth-bound, so fewer, larger kernels win. The forward
+    path uses the fused keys when present (see nn.layers).
+    """
+    stacked = params.get("layers")
+    out = dict(params)
+    if isinstance(stacked, (list, tuple)):
+        out["layers"] = [_fuse_layer_dict(d) for d in stacked]
+    elif isinstance(stacked, dict):
+        out["layers"] = _fuse_layer_dict(stacked)
+    return out
+
+
 def prepare_moe_ragged(params: dict) -> dict:
     """One-time transpose of float MoE expert weights into the ragged_dot
     layout ([L, E, in, out]); enables the grouped-matmul MoE path.

@@ -156,9 +156,18 @@ def self_attention_block(
     B, T, D = x.shape
     hd = cfg.head_size
 
-    q = linear(x, params["wq"], params.get("wq.bias"))
-    k = linear(x, params["wk"], params.get("wk.bias"))
-    v = linear(x, params["wv"], params.get("wv.bias"))
+    if "wqkv" in params:
+        # fused QKV projection (see models.base.fuse_params)
+        qdim = cfg.n_heads * hd
+        kvdim = cfg.n_kv_heads * hd
+        qkv = linear(x, params["wqkv"], params.get("wqkv.bias"))
+        q = qkv[..., :qdim]
+        k = qkv[..., qdim : qdim + kvdim]
+        v = qkv[..., qdim + kvdim :]
+    else:
+        q = linear(x, params["wq"], params.get("wq.bias"))
+        k = linear(x, params["wk"], params.get("wk.bias"))
+        v = linear(x, params["wv"], params.get("wv.bias"))
     # cf. reference debug points (CausalSelfAttention.java:194-196)
     debug("query", q)
     debug("key", k)
@@ -192,6 +201,10 @@ def self_attention_block(
             and T == 1
             and cfg.causal
             and cfg.sliding_window is None
+            # Mosaic block-shape constraints: tiny test models (head_size 16,
+            # 4 heads) fail lowering — fall back to the XLA gather path
+            and cfg.head_size % 64 == 0
+            and cfg.n_heads % 8 == 0
         )
         if use_kernel:
             # Pallas paged-attention decode kernel (double-buffered per-page
@@ -280,6 +293,11 @@ def _update_cache(cache: jnp.ndarray, new: jnp.ndarray, pos0: jnp.ndarray) -> jn
 
 
 def mlp_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
+    if "w13" in params:  # fused gate+up (see models.base.fuse_params)
+        h = linear(x, params["w13"])
+        half = h.shape[-1] // 2
+        gate = activation(h[..., :half], cfg.activation)
+        return linear(gate * h[..., half:], params["w2"])
     if "w3" in params:  # gated (llama family): w2(act(w1(x)) * w3(x))
         gate = activation(linear(x, params["w1"]), cfg.activation)
         up = linear(x, params["w3"])

@@ -48,6 +48,9 @@ _LAYER_RULES: dict[str, P] = {
     "w1": P("tp", None),
     "w3": P("tp", None),
     "w2": P(None, "tp"),
+    "wqkv": P("tp", None),  # fused QKV (GSPMD block-partitions rows; the
+    "w13": P("tp", None),   # post-matmul split is a logical slice, so head
+    "wqkv.bias": P("tp"),   # boundaries need not align with shard cuts)
     "wq.bias": P("tp"),
     "wk.bias": P("tp"),
     "wv.bias": P("tp"),
@@ -58,6 +61,9 @@ _LAYER_RULES: dict[str, P] = {
     "experts.w1": P("tp", None, None),  # expert-parallel over tp
     "experts.w2": P("tp", None, None),
     "experts.w3": P("tp", None, None),
+    "experts.w1_t": P("tp", None, None),  # ragged_dot layout [E, in, out]
+    "experts.w2_t": P("tp", None, None),
+    "experts.w3_t": P("tp", None, None),
 }
 
 

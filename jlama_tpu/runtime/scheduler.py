@@ -114,7 +114,19 @@ class BatchScheduler:
         mesh=None,
         prefill_chunk: int = 256,
         max_sessions: int = 64,
+        fuse: bool = True,
+        moe_ragged: bool = True,
     ):
+        if fuse:
+            from ..models.base import fuse_params
+
+            params = fuse_params(params)
+        if moe_ragged and cfg.n_experts:
+            # top-k-only grouped expert matmuls in serving (float experts;
+            # quantized experts keep the dense path — see prepare_moe_ragged)
+            from ..models.base import prepare_moe_ragged
+
+            params = prepare_moe_ragged(params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

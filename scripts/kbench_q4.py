@@ -236,6 +236,218 @@ def i4x(x, w4, ws):
     ).astype(jnp.bfloat16)
 
 
+# ---- v8: uint8-lane nibble extraction (4x VPU density for &/>>) -----------
+# v2cur widens to i32 BEFORE masking, paying 32-bit lane width for every
+# bitwise op. Here & / >> run in the native u8 domain (4x packing), and only
+# the two result planes are widened for the MXU.
+
+def _k_v8(xl_ref, xh_ref, xb_ref, wp_ref, s_ref, o_ref, *, out_dtype):
+    wp = wp_ref[...]
+    lo8 = wp & jnp.uint8(0x0F)
+    hi8 = wp >> jnp.uint8(4)
+    lo = lo8.astype(jnp.int32).astype(jnp.bfloat16)
+    hi = hi8.astype(jnp.int32).astype(jnp.bfloat16)
+    s = s_ref[...]
+    srep = pltpu.repeat(s, 16, axis=1)
+    d = jax.lax.dot_general(
+        xl_ref[...], lo * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d += jax.lax.dot_general(
+        xh_ref[...], hi * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    corr = jax.lax.dot_general(
+        xb_ref[...], s.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (d - 8.0 * corr).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def v8(x, packed, scales, block_n=512):
+    m, k = x.shape
+    n = packed.shape[0]
+    bn = min(block_n, n)
+    while n % bn:
+        bn //= 2
+    xl, xh, xb = split_x(x.astype(jnp.bfloat16))
+    xspec = [
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return _grid_call(
+        functools.partial(_k_v8, out_dtype=jnp.bfloat16), m, k, n, bn, xspec
+    )(xl, xh, xb, packed, scales.astype(jnp.bfloat16))
+
+
+# ---- v9: v8 + scales pre-multiplied out of the kernel ----------------------
+# scale the ACTIVATION planes by nothing; instead fold srep construction away
+# by storing scales pre-expanded to [n, k/2] bf16 at repack time (6% more HBM
+# bytes, one VPU op/byte less, one fewer operand reshape).
+
+def _prep_v9(packed, scales):
+    srep = jnp.repeat(scales.astype(jnp.bfloat16), 16, axis=1)
+    return packed, srep, scales.astype(jnp.bfloat16)
+
+
+def _k_v9(xl_ref, xh_ref, xb_ref, wp_ref, srep_ref, s_ref, o_ref, *, out_dtype):
+    wp = wp_ref[...]
+    lo8 = wp & jnp.uint8(0x0F)
+    hi8 = wp >> jnp.uint8(4)
+    srep = srep_ref[...]
+    lo = lo8.astype(jnp.int32).astype(jnp.bfloat16)
+    hi = hi8.astype(jnp.int32).astype(jnp.bfloat16)
+    d = jax.lax.dot_general(
+        xl_ref[...], lo * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d += jax.lax.dot_general(
+        xh_ref[...], hi * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    corr = jax.lax.dot_general(
+        xb_ref[...], s_ref[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (d - 8.0 * corr).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def v9(x, packed, srep, scales, block_n=512):
+    m, k = x.shape
+    n = packed.shape[0]
+    bn = min(block_n, n)
+    while n % bn:
+        bn //= 2
+    xl, xh, xb = split_x(x.astype(jnp.bfloat16))
+    xspec = [
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        functools.partial(_k_v9, out_dtype=jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        grid=(n // bn,),
+        in_specs=xspec
+        + [
+            pl.BlockSpec((bn, k // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(xl, xh, xb, packed, srep, scales)
+
+
+# ---- v8b: u8-domain masks only (no shift: hi plane keeps its x16, which is
+# folded into the hi scales) --------------------------------------------------
+
+def _k_v8b(xl_ref, xh_ref, xb_ref, wp_ref, s_ref, o_ref, *, out_dtype, wdom):
+    wp = wp_ref[...]
+    if wdom != "u8":
+        wp = wp.astype(jnp.int16 if wdom == "i16" else jnp.int32)
+    lo8 = wp & 0x0F
+    hi16 = wp & 0xF0  # = 16 * hi nibble
+    lo = lo8.astype(jnp.int32).astype(jnp.bfloat16)
+    hi = hi16.astype(jnp.int32).astype(jnp.bfloat16)
+    s = s_ref[...]
+    srep = pltpu.repeat(s, 16, axis=1)
+    srep16 = pltpu.repeat(s * jnp.bfloat16(0.0625), 16, axis=1)
+    d = jax.lax.dot_general(
+        xl_ref[...], lo * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d += jax.lax.dot_general(
+        xh_ref[...], hi * srep16, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    corr = jax.lax.dot_general(
+        xb_ref[...], s.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (d - 8.0 * corr).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "wdom"))
+def v8b(x, packed, scales, block_n=512, wdom="u8"):
+    m, k = x.shape
+    n = packed.shape[0]
+    bn = min(block_n, n)
+    while n % bn:
+        bn //= 2
+    xl, xh, xb = split_x(x.astype(jnp.bfloat16))
+    xspec = [
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return _grid_call(
+        functools.partial(_k_v8b, out_dtype=jnp.bfloat16, wdom=wdom),
+        m, k, n, bn, xspec,
+    )(xl, xh, xb, packed, scales.astype(jnp.bfloat16))
+
+
+# ---- v11: v2cur structure + srep pre-expanded in HBM ----------------------
+# trades +11% HBM bytes (bf16 scale per 16 weights, vs /32 blocks) for one
+# fewer VPU op/byte: the kernel is VPU-bound at ~425 GB/s while HBM has
+# ~2x headroom, so the trade should win.
+
+def _prep_v11(packed, scales):
+    srep = jnp.repeat(scales.astype(jnp.bfloat16), 16, axis=1)
+    return packed, srep, scales.astype(jnp.bfloat16)
+
+
+def _k_v11(xl_ref, xh_ref, xb_ref, wp_ref, srep_ref, s_ref, o_ref, *, out_dtype):
+    w32 = wp_ref[...].astype(jnp.int32)
+    lo = (w32 & 0x0F).astype(jnp.bfloat16)
+    hi = (w32 >> 4).astype(jnp.bfloat16)
+    srep = srep_ref[...]
+    d = jax.lax.dot_general(
+        xl_ref[...], lo * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d += jax.lax.dot_general(
+        xh_ref[...], hi * srep, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    corr = jax.lax.dot_general(
+        xb_ref[...], s_ref[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (d - 8.0 * corr).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def v11(x, packed, srep, scales, block_n=512):
+    m, k = x.shape
+    n = packed.shape[0]
+    bn = min(block_n, n)
+    while n % bn:
+        bn //= 2
+    xl, xh, xb = split_x(x.astype(jnp.bfloat16))
+    xspec = [
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, k // 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        functools.partial(_k_v11, out_dtype=jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        grid=(n // bn,),
+        in_specs=xspec
+        + [
+            pl.BlockSpec((bn, k // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(xl, xh, xb, packed, srep, scales)
+
+
 # ---- diagnostics ----------------------------------------------------------
 # dot2: 2 full dots on the converted byte matrix (no nibble extraction) —
 # isolates MXU-ingest cost of the two plane dots from VPU extraction cost.
@@ -413,6 +625,20 @@ VARIANTS = {
         2e-2,
     ),
     "v3a": (_id_prep, v3a, 2e-2),
+    "v8": (_id_prep, v8, 2e-2),
+    "v8b": (_id_prep, v8b, 2e-2),
+    "v8bi16": (_id_prep, lambda x, p, s: v8b(x, p, s, wdom="i16"), 2e-2),
+    "v8bi32": (_id_prep, lambda x, p, s: v8b(x, p, s, wdom="i32"), 2e-2),
+    "v8b1k": (_id_prep, lambda x, p, s: v8b(x, p, s, block_n=1024), 2e-2),
+    "v8p1k": (_id_prep, lambda x, p, s: v8(x, p, s, block_n=1024), 2e-2),
+    "v9": (_prep_v9, v9, 2e-2),
+    "v11": (_prep_v11, v11, 2e-2),
+    "v11p1k": (_prep_v11, lambda x, p, sr, s: v11(x, p, sr, s, block_n=1024), 2e-2),
+    "v2p2k": (
+        _id_prep,
+        lambda x, p, s: q4k_matmul_2d(x, p, s, block_n=2048),
+        2e-2,
+    ),
     "v3b": (_id_prep, v3b, 2e-2),
     "v4": (_id_prep, v4, 2e-2),
     "v7": (_id_prep, v7, 2e-2),

@@ -111,3 +111,54 @@ def test_partial_load_roles(tiny):
     np.testing.assert_array_equal(
         np.asarray(mid["layers"]["wq"][0]), np.asarray(full["layers"]["wq"][1])
     )
+
+
+def test_fused_qkv_w13_matches_unfused(tiny):
+    model_dir, _ = tiny
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.models.base import forward_logits, fuse_params
+
+    params, cfg = load_params(model_dir, float_dtype=jnp.float32)
+    tokens = np.array([[1, 5, 9, 42, 7]], dtype=np.int32)
+    positions = np.arange(5, dtype=np.int32)[None, :]
+
+    base, _ = forward_logits(
+        params, cfg, jnp.asarray(tokens), jnp.asarray(positions), dtype=jnp.float32
+    )
+    fused = fuse_params(params)
+    assert "wqkv" in fused["layers"] and "w13" in fused["layers"]
+    assert "wq" not in fused["layers"] and "w1" not in fused["layers"]
+    got, _ = forward_logits(
+        fused, cfg, jnp.asarray(tokens), jnp.asarray(positions), dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_quantized_matches_unfused(tiny):
+    model_dir, _ = tiny
+    import jax
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.models.base import forward_logits, fuse_params
+    from jlama_tpu.nn.qarray import QArray, quantize_q4
+
+    params, cfg = load_params(model_dir, float_dtype=jnp.float32)
+
+    def q(leaf):
+        return quantize_q4(np.asarray(leaf))
+
+    layers = {
+        k: (q(v) if k in ("wq", "wk", "wv", "wo", "w1", "w2", "w3") else v)
+        for k, v in params["layers"].items()
+    }
+    qparams = dict(params, layers=layers)
+    tokens = np.array([[1, 5, 9, 42, 7]], dtype=np.int32)
+    positions = np.arange(5, dtype=np.int32)[None, :]
+    base, _ = forward_logits(
+        qparams, cfg, jnp.asarray(tokens), jnp.asarray(positions), dtype=jnp.float32
+    )
+    fused = fuse_params(qparams)
+    assert isinstance(fused["layers"]["wqkv"], QArray)
+    got, _ = forward_logits(
+        fused, cfg, jnp.asarray(tokens), jnp.asarray(positions), dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=1e-5, atol=1e-5)
