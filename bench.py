@@ -1,8 +1,15 @@
-"""Headline benchmark: single-chip decode throughput on Llama-3.2-1B shapes.
+"""Headline benchmark: single-chip JQ4 decode throughput + TTFT.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+North-star config (BASELINE.md): Llama-3.1-8B-JQ4 decode tokens/s/chip and
+p50 TTFT on one TPU chip. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "ttft_ms_p50", ...}.
 `vs_baseline` is the fraction of weight-bandwidth speed-of-light achieved
-(BASELINE.md: per-chip HBM bandwidth / active bytes per decoded token).
+(per-chip HBM bandwidth / active quantized bytes per decoded token).
+
+Env knobs: JLAMA_BENCH_MODEL=8b|1b, JLAMA_BENCH_QUANT=q4|bf16,
+JLAMA_BENCH_UNROLL=1|0 (default 1: per-layer weight arrays — no per-step
+dynamic-slice copies of the stacked [L, ...] arrays under scan),
+JLAMA_BENCH_TOKENS, JLAMA_BENCH_PROMPT.
 """
 
 from __future__ import annotations
@@ -19,18 +26,25 @@ enable_persistent_cache()
 
 import jax.numpy as jnp
 
-from jlama_tpu.models.init import llama_1b_config
-from jlama_tpu.models.base import KVCache, forward_hidden, lm_logits
-from jlama_tpu.nn.sampling import sample_token
+from jlama_tpu.models.base import (
+    KVCache,
+    forward_hidden,
+    fuse_params,
+    lm_logits,
+    unstack_cache,
+    unstack_params,
+)
 from jlama_tpu.nn.qarray import QArray
+from jlama_tpu.nn.sampling import sample_token
 
 # v5e (TPU v5 lite) per-chip HBM bandwidth, bytes/s
 HBM_BW = float(os.environ.get("JLAMA_BENCH_HBM_BW", 819e9))
 
 DECODE_TOKENS = int(os.environ.get("JLAMA_BENCH_TOKENS", 128))
-QUANT = os.environ.get("JLAMA_BENCH_QUANT", "bf16")  # bf16 | q4
-UNROLL = os.environ.get("JLAMA_BENCH_UNROLL", "0") == "1"
-MODEL = os.environ.get("JLAMA_BENCH_MODEL", "1b")  # 1b | 8b
+PROMPT_TOKENS = int(os.environ.get("JLAMA_BENCH_PROMPT", 512))
+QUANT = os.environ.get("JLAMA_BENCH_QUANT", "q4")  # q4 | bf16
+UNROLL = os.environ.get("JLAMA_BENCH_UNROLL", "1") == "1"
+MODEL = os.environ.get("JLAMA_BENCH_MODEL", "8b")  # 1b | 8b
 
 
 def init_params_device(cfg, dtype=jnp.bfloat16, quant: str = "bf16"):
@@ -90,18 +104,20 @@ def active_bytes_per_token(cfg, quant: str) -> float:
 
 
 def main():
+    import numpy as np
+
     if MODEL == "8b":
         from jlama_tpu.models.init import llama_8b_config
 
         cfg = llama_8b_config()
     else:
+        from jlama_tpu.models.init import llama_1b_config
+
         cfg = llama_1b_config()
-    params = init_params_device(cfg, quant=QUANT)
+    params = fuse_params(init_params_device(cfg, quant=QUANT))
     max_len = 2048
     cache = KVCache.init(cfg, 1, max_len, jnp.bfloat16)
     if UNROLL:
-        from jlama_tpu.models.base import unstack_params, unstack_cache
-
         params = unstack_params(params, cfg)
         cache = unstack_cache(cache)
 
@@ -116,23 +132,43 @@ def main():
         tok = sample_token(logits, key, 0.0)
         return tok[:, None], cache
 
-    import numpy as np
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill_step(params, cache, tokens, positions):
+        hidden, cache = forward_hidden(
+            params, cfg, tokens, positions, cache, dtype=jnp.bfloat16
+        )
+        logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
+        tok = sample_token(logits, jax.random.PRNGKey(0), 0.0)
+        return tok[:, None], cache
 
     key = jax.random.PRNGKey(0)
     t = jnp.asarray([[1]], jnp.int32)
 
+    # ---- TTFT: prefill PROMPT_TOKENS then sample the first token ----
+    ptoks = jnp.ones((1, PROMPT_TOKENS), jnp.int32)
+    ppos = jnp.arange(PROMPT_TOKENS, dtype=jnp.int32)[None, :]
     # warmup/compile; np.asarray forces a REAL device sync (on the axon
-    # remote platform block_until_ready returns before execution completes).
-    # The measured section uses per-step async dispatches (the serving
-    # pattern) with one final hard sync, so the remote tunnel's ~40 ms
-    # round-trip latency is pipelined away rather than multiplied in.
-    t, cache = decode_step(params, cache, t, jnp.asarray([[0]], jnp.int32), key)
+    # remote platform block_until_ready returns before execution completes)
+    t, cache = prefill_step(params, cache, ptoks, ppos)
+    np.asarray(t)
+    ttfts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        t, cache = prefill_step(params, cache, ptoks, ppos)
+        np.asarray(t)
+        ttfts.append((time.perf_counter() - t0) * 1000)
+    ttft_p50 = sorted(ttfts)[len(ttfts) // 2]
+
+    # ---- decode loop: per-step async dispatches (the serving pattern) with
+    # one final hard sync, so the remote tunnel's ~40 ms round-trip latency
+    # is pipelined away rather than multiplied in ----
+    t, cache = decode_step(params, cache, t, jnp.asarray([[PROMPT_TOKENS]], jnp.int32), key)
     np.asarray(t)
 
     start = time.perf_counter()
     for i in range(1, DECODE_TOKENS + 1):
         t, cache = decode_step(
-            params, cache, t, jnp.asarray([[i]], jnp.int32), key
+            params, cache, t, jnp.asarray([[PROMPT_TOKENS + i]], jnp.int32), key
         )
     np.asarray(t)
     dt = time.perf_counter() - start
@@ -146,6 +182,9 @@ def main():
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(toks_per_s / sol, 4),
+                "ttft_ms_p50": round(ttft_p50, 1),
+                "prompt_tokens": PROMPT_TOKENS,
+                "sol_tokens_per_s": round(sol, 1),
             }
         )
     )

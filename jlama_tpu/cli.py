@@ -174,6 +174,11 @@ def cmd_serve(args) -> None:
     else:
         params, cfg, tokenizer, model_dir = _load_engine(args, for_serving=True)
 
+    import jax.numpy as _jnp
+
+    kv_dtype = {"bf16": _jnp.bfloat16, "f32": _jnp.float32, "q8": "q8"}[
+        args.kv_dtype
+    ]
     sched = BatchScheduler(
         params,
         cfg,
@@ -182,6 +187,7 @@ def cmd_serve(args) -> None:
         n_pages=args.kv_pages,
         page_size=args.page_size,
         max_seq_len=args.context,
+        kv_dtype=kv_dtype,
         mesh=mesh,
     )
     # embeddings/classification endpoint rides the same weights through a
@@ -294,6 +300,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-slots", type=int, default=8)
     p.add_argument("--kv-pages", type=int, default=512)
     p.add_argument("--page-size", type=int, default=64)
+    p.add_argument(
+        "--kv-dtype",
+        choices=["bf16", "f32", "q8"],
+        default="bf16",
+        help="KV cache storage dtype; q8 halves HBM per cached token "
+        "(block-32 int8, dequantized in attention)",
+    )
     p.add_argument("--mesh", default=None, metavar="DP,PP,TP",
                    help="shard the model over a device mesh, e.g. 1,1,4")
     p.add_argument("--coordinator", default=None,

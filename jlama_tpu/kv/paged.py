@@ -26,13 +26,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
+from ..nn.qarray import QArray
 
 
 class PagedKVState(NamedTuple):
-    """Device-side state (a pytree; donated through jitted steps)."""
+    """Device-side state (a pytree; donated through jitted steps).
 
-    k_pool: jnp.ndarray  # [L, n_pages, page_size, n_kv, hd]
-    v_pool: jnp.ndarray
+    Pools are plain arrays (bf16/f32) or QArrays (fmt "q8": int8 payload +
+    block-32 scales along head_size) when the cache dtype is quantized —
+    the TPU equivalent of the reference writing K/V quantized to a cache
+    dtype distinct from compute (CausalSelfAttention.java:212-229,
+    KvBufferCache.java:102). q8 gives 2x the context per HBM byte vs bf16.
+    """
+
+    k_pool: jnp.ndarray | QArray  # [L, n_kv, n_pages, page_size, hd]
+    v_pool: jnp.ndarray | QArray
 
 
 @dataclass
@@ -79,6 +87,9 @@ class PagedKVCache:
         max_pages_per_seq: int | None = None,
         dtype=jnp.bfloat16,
     ):
+        """dtype: a jnp float dtype, or the string "q8" for a quantized pool
+        (int8 payload + block-32 f32 scales along head_size — half the HBM
+        per cached token of bf16, so 2x context headroom per chip)."""
         self.cfg = cfg
         self.page_size = page_size
         self.n_pages = n_pages
@@ -86,7 +97,20 @@ class PagedKVCache:
             -(-cfg.context_length // page_size)
         )
         shape = (cfg.n_layers, cfg.n_kv_heads, n_pages, page_size, cfg.head_size)
-        self.state = PagedKVState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        if dtype == "q8":
+            # reference block-32 layout when it divides head_size; else one
+            # scale per head row (covers head_size 16/80-style models)
+            blk = 32 if cfg.head_size % 32 == 0 else cfg.head_size
+            sshape = shape[:-1] + (cfg.head_size // blk,)
+
+            def qpool():
+                return QArray(
+                    jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32), "q8"
+                )
+
+            self.state = PagedKVState(qpool(), qpool())
+        else:
+            self.state = PagedKVState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         self.alloc = PageAllocator(n_pages)
 
     def page_table(self, seq_ids: list[str]) -> np.ndarray:
@@ -105,15 +129,20 @@ class PagedKVCache:
 
 
 def write_kv_layer(
-    k_pool: jnp.ndarray,  # [n_kv, n_pages, ps, hd] (single layer)
-    v_pool: jnp.ndarray,
+    k_pool,  # [n_kv, n_pages, ps, hd] (single layer) — jnp array or QArray
+    v_pool,
     k_new: jnp.ndarray,  # [B, T, n_kv, hd]
     v_new: jnp.ndarray,
     page_tables: jnp.ndarray,  # [B, P] int32
     positions: jnp.ndarray,  # [B, T] absolute token positions
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter new K/V rows into the pool at their (page, offset) slots."""
-    ps = k_pool.shape[2]
+):
+    """Scatter new K/V rows into the pool at their (page, offset) slots.
+
+    Quantized (QArray "q8") pools quantize each new row per block-32 along
+    head_size before the scatter (cf. CausalSelfAttention.java:212-229
+    writing K/V in the cache's dtype, not the compute dtype).
+    """
+    ps = (k_pool.data if isinstance(k_pool, QArray) else k_pool).shape[2]
     B, T = positions.shape
     page_idx = jnp.take_along_axis(
         page_tables, positions // ps, axis=1
@@ -124,25 +153,55 @@ def write_kv_layer(
     # [B*T, n_kv, hd] -> [n_kv, B*T, hd] to match head-major pools
     kf = k_new.reshape(B * T, -1, k_new.shape[-1]).transpose(1, 0, 2)
     vf = v_new.reshape(B * T, -1, v_new.shape[-1]).transpose(1, 0, 2)
+    if isinstance(k_pool, QArray):
+        from ..quant.blockq import q8_quantize
+
+        blk = k_pool.data.shape[-1] // k_pool.scales.shape[-1]
+        kq, ks = q8_quantize(kf, block=blk)
+        vq, vs = q8_quantize(vf, block=blk)
+        k_pool = QArray(
+            k_pool.data.at[:, flat_pages, flat_offs].set(kq),
+            k_pool.scales.at[:, flat_pages, flat_offs].set(ks),
+            "q8",
+        )
+        v_pool = QArray(
+            v_pool.data.at[:, flat_pages, flat_offs].set(vq),
+            v_pool.scales.at[:, flat_pages, flat_offs].set(vs),
+            "q8",
+        )
+        return k_pool, v_pool
     k_pool = k_pool.at[:, flat_pages, flat_offs].set(kf.astype(k_pool.dtype))
     v_pool = v_pool.at[:, flat_pages, flat_offs].set(vf.astype(v_pool.dtype))
     return k_pool, v_pool
 
 
+def _gather_one(pool, page_tables, dtype):
+    if isinstance(pool, QArray):
+        blk = pool.data.shape[-1] // pool.scales.shape[-1]
+        d = pool.data[:, page_tables]  # [n_kv, B, P, ps, hd] int8
+        s = pool.scales[:, page_tables]  # [n_kv, B, P, ps, hd/blk]
+        x = d.reshape(*d.shape[:-1], d.shape[-1] // blk, blk).astype(jnp.float32)
+        x = (x * s[..., None]).reshape(d.shape).astype(dtype)
+    else:
+        x = pool[:, page_tables]
+    n_kv, B, P, ps, hd = x.shape
+    return x.transpose(1, 2, 3, 0, 4).reshape(B, P * ps, n_kv, hd)
+
+
 def gather_kv_layer(
-    k_pool: jnp.ndarray,
-    v_pool: jnp.ndarray,
+    k_pool,
+    v_pool,
     page_tables: jnp.ndarray,  # [B, P]
+    dtype=jnp.bfloat16,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Materialize each sequence's KV window [B, P*ps, n_kv, hd] (XLA path).
 
     The Pallas paged-attention kernel reads pages directly from HBM instead;
-    this gather is the portable reference path (CPU tests, prefill).
+    this gather is the portable reference path (CPU tests, prefill, and
+    quantized pools, which it dequantizes after gathering only the live
+    pages).
     """
-    k = k_pool[:, page_tables]  # [n_kv, B, P, ps, hd]
-    v = v_pool[:, page_tables]
-    n_kv, B, P, ps, hd = k.shape
     return (
-        k.transpose(1, 2, 3, 0, 4).reshape(B, P * ps, n_kv, hd),
-        v.transpose(1, 2, 3, 0, 4).reshape(B, P * ps, n_kv, hd),
+        _gather_one(k_pool, page_tables, dtype),
+        _gather_one(v_pool, page_tables, dtype),
     )

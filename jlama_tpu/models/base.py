@@ -219,8 +219,10 @@ def forward_hidden(
                 if paged
                 else (kv_cache.k, kv_cache.v)
             )
-            new_k = jax.lax.dynamic_update_slice_in_dim(full_k, new_k, lo, 0)
-            new_v = jax.lax.dynamic_update_slice_in_dim(full_v, new_v, lo, 0)
+            # tree-mapped so quantized (QArray) pools update data+scales
+            upd = lambda f, n: jax.lax.dynamic_update_slice_in_dim(f, n, lo, 0)  # noqa: E731
+            new_k = jax.tree.map(upd, full_k, new_k)
+            new_v = jax.tree.map(upd, full_v, new_v)
         if paged:
             from ..kv.paged import PagedKVState
 

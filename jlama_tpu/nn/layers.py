@@ -196,6 +196,8 @@ def self_attention_block(
         else:
             scale = hd**-0.5
 
+        from ..nn.qarray import QArray
+
         use_kernel = (
             flags.USE_PAGED_ATTENTION_KERNEL
             and T == 1
@@ -205,6 +207,8 @@ def self_attention_block(
             # 4 heads) fail lowering — fall back to the XLA gather path
             and cfg.head_size % 64 == 0
             and cfg.n_heads % 8 == 0
+            # quantized (q8) pools dequantize in the gather path
+            and not isinstance(k_pool, QArray)
         )
         if use_kernel:
             # Pallas paged-attention decode kernel (double-buffered per-page

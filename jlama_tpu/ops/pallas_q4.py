@@ -106,38 +106,56 @@ def q4k_matmul_2d(
     packed: jnp.ndarray,  # [N, K/2] uint8, kernel column order
     scales: jnp.ndarray,  # [N, K/32]
     out_dtype=jnp.bfloat16,
-    block_n: int = 512,
+    block_n: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     m, k = x.shape
     n = packed.shape[0]
-    bn = min(block_n, n)
+    # Large M (prefill) tiles the row axis too, else the [M, K/2] activation
+    # planes + [bn, K/2] dequant intermediates blow the ~16 MB VMEM budget.
+    # m is the OUTER grid axis so the weight stream (the big operand in
+    # decode; the reused one in prefill) is sequential per m-tile.
+    bm = min(256, m)
+    pad_m = (-m) % bm
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+        m_p = m + pad_m
+    else:
+        m_p = m
+    if block_n is None:
+        # VMEM-safe block height by contraction size (measured on v5e:
+        # k<=4096 prefers 1024; k=14336 OOMs beyond 256 yet still streams
+        # ~495 GB/s there — the kernel is VPU-bound, not DMA-bound)
+        block_n = 1024 if k <= 4096 else (512 if k <= 8192 else 256)
+    bn = min(block_n if m <= 32 else 256, n)
     while n % bn:
         bn //= 2
     xl, xh, xb = split_x(x.astype(jnp.bfloat16))
     out = pl.pallas_call(
         functools.partial(_q4_matmul_kernel, out_dtype=out_dtype),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        grid=(n // bn,),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), out_dtype),
+        grid=(m_p // bm, n // bn),
         in_specs=[
-            pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, k // 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, k // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, k // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k // 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k // 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k // 32), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 32), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k,
-            bytes_accessed=n * k // 2 + n * k // 32 * 2 + m * k * 2 + m * n * 2,
+            flops=2 * m_p * n * k,
+            bytes_accessed=n * k // 2 + n * k // 32 * 2 + m_p * k * 2 + m_p * n * 2,
             transcendentals=0,
         ),
         interpret=interpret,
     )(xl, xh, xb, packed, scales.astype(jnp.bfloat16))
-    return out
+    return out[:m] if pad_m else out
 
 
 def q4_matmul(x: jnp.ndarray, w: QArray, out_dtype=jnp.bfloat16, interpret=False):

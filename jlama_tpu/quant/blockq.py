@@ -140,21 +140,22 @@ def q4_dequantize(packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*packed.shape[:-1], n)
 
 
-def q8_quantize(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def q8_quantize(x: jnp.ndarray, block: int = BLOCK_SIZE) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Jittable activation quantization (the GEMM input path).
 
     Matches the reference semantics (amax/127 scale, round-half-up) without
-    bit-exactness guarantees on-device.
+    bit-exactness guarantees on-device. `block` defaults to the reference's
+    32; KV-cache quantization passes the head size when 32 doesn't divide it.
     """
     shape = x.shape
-    xb = x.reshape(*shape[:-1], shape[-1] // BLOCK_SIZE, BLOCK_SIZE).astype(
+    xb = x.reshape(*shape[:-1], shape[-1] // block, block).astype(
         jnp.float32
     )
     amax = jnp.max(jnp.abs(xb), axis=-1)
     iscale = jnp.where(amax > 0, 127.0 / amax, 0.0)
     scale = jnp.where(amax > 0, amax / 127.0, 0.0)
     q = jnp.clip(jnp.floor(xb * iscale[..., None] + 0.5), -127, 127).astype(jnp.int8)
-    return q.reshape(shape), scale.astype(jnp.float32)
+    return q.reshape(shape), scale.astype(jnp.float32)  # scales [..., n/block]
 
 
 def q8_dequantize(q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:

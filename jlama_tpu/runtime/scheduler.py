@@ -390,14 +390,22 @@ class BatchScheduler:
         if not pages:
             return False
         idxs = jnp.asarray(np.asarray(pages, dtype=np.int32))
-        k_host = np.asarray(self.kv.state.k_pool[:, :, idxs])
-        v_host = np.asarray(self.kv.state.v_pool[:, :, idxs])
+        # tree-mapped so quantized (QArray) pools offload payload + scales
+        k_host = jax.tree.map(
+            lambda a: np.asarray(a[:, :, idxs]), self.kv.state.k_pool
+        )
+        v_host = jax.tree.map(
+            lambda a: np.asarray(a[:, :, idxs]), self.kv.state.v_pool
+        )
         if to_dir is not None:
             import os
 
             os.makedirs(to_dir, exist_ok=True)
-            np.save(f"{to_dir}/{session_id}.k.npy", k_host)
-            np.save(f"{to_dir}/{session_id}.v.npy", v_host)
+            np.savez(
+                f"{to_dir}/{session_id}.kv.npz",
+                *jax.tree.leaves(k_host),
+                *jax.tree.leaves(v_host),
+            )
             payload = (to_dir, len(pages))
         else:
             payload = (k_host, v_host)
@@ -410,23 +418,25 @@ class BatchScheduler:
         if session_id not in self._suspended:
             return False
         payload, state = self._suspended.pop(session_id)
+        k_leaves, k_def = jax.tree.flatten(self.kv.state.k_pool)
         if isinstance(payload[0], str):
             to_dir, _ = payload
-            k_host = np.load(f"{to_dir}/{session_id}.k.npy")
-            v_host = np.load(f"{to_dir}/{session_id}.v.npy")
+            with np.load(f"{to_dir}/{session_id}.kv.npz") as z:
+                arrs = [z[f] for f in z.files]
+            k_host = jax.tree.unflatten(k_def, arrs[: len(k_leaves)])
+            v_host = jax.tree.unflatten(k_def, arrs[len(k_leaves):])
         else:
             k_host, v_host = payload
-        n_pages = k_host.shape[2]
+        n_pages = jax.tree.leaves(k_host)[0].shape[2]
         ps = self.kv.page_size
         pages = self.kv.alloc.ensure_capacity(session_id, n_pages * ps, ps)
         idxs = jnp.asarray(np.asarray(pages, dtype=np.int32))
+        put = lambda pool, host: pool.at[:, :, idxs].set(  # noqa: E731
+            jnp.asarray(host, pool.dtype)
+        )
         self.kv.state = PagedKVState(
-            self.kv.state.k_pool.at[:, :, idxs].set(
-                jnp.asarray(k_host, self.kv.state.k_pool.dtype)
-            ),
-            self.kv.state.v_pool.at[:, :, idxs].set(
-                jnp.asarray(v_host, self.kv.state.v_pool.dtype)
-            ),
+            jax.tree.map(put, self.kv.state.k_pool, k_host),
+            jax.tree.map(put, self.kv.state.v_pool, v_host),
         )
         self.session_state[session_id] = state
         return True

@@ -396,7 +396,8 @@ def v8b(x, packed, scales, block_n=512, wdom="u8"):
 # ~2x headroom, so the trade should win.
 
 def _prep_v11(packed, scales):
-    srep = jnp.repeat(scales.astype(jnp.bfloat16), 16, axis=1)
+    # kernel column order: column c ↦ scale[c mod nb], i.e. TILE not repeat
+    srep = jnp.tile(scales.astype(jnp.bfloat16), (1, 16))
     return packed, srep, scales.astype(jnp.bfloat16)
 
 
