@@ -75,14 +75,15 @@ def _embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, positions: jnp.n
 
 
 def _block(x, layer_params: dict, cfg: ModelConfig, positions, cache, cos, sin,
-           sliding_window):
+           sliding_window, attn_window=None):
     """One transformer block (pre-norm or post-norm per cfg)."""
     rm = cfg.residual_multiplier if cfg.residual_multiplier is not None else 1.0
 
     if cfg.model_type == "bert":
         # post-norm encoder block
         attn_out, cache = L.self_attention_block(
-            x, layer_params, cfg, positions, cache, cos, sin, sliding_window
+            x, layer_params, cfg, positions, cache, cos, sin, sliding_window,
+            attn_window,
         )
         x = L.norm(x + attn_out, layer_params, cfg, "attn_norm")
         ff = L.mlp_block(x, layer_params, cfg)
@@ -91,7 +92,8 @@ def _block(x, layer_params: dict, cfg: ModelConfig, positions, cache, cos, sin,
 
     h = L.norm(x, layer_params, cfg, "attn_norm")
     attn_out, cache = L.self_attention_block(
-        h, layer_params, cfg, positions, cache, cos, sin, sliding_window
+        h, layer_params, cfg, positions, cache, cos, sin, sliding_window,
+        attn_window,
     )
     if cfg.post_attn_norm:
         attn_out = L.norm(attn_out, layer_params, cfg, "post_attn_norm")
@@ -118,6 +120,7 @@ def forward_hidden(
     dtype=jnp.bfloat16,
     layer_range: tuple[int, int] | None = None,
     hidden_sharding=None,
+    attn_window: int | None = None,
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Run embedding + all transformer layers. Returns (hidden [B,T,D], cache).
 
@@ -165,7 +168,8 @@ def forward_hidden(
             cache_l = kv_cache[l] if cache_is_list else None
             sw = int(sliding[l]) if sliding[l] > 0 else None
             x, cache_l = _block(
-                x, stacked[l], cfg, positions, cache_l, cos, sin, sw
+                x, stacked[l], cfg, positions, cache_l, cos, sin, sw,
+                attn_window,
             )
             if cache_is_list:
                 new_cache_list[l] = cache_l
@@ -182,7 +186,8 @@ def forward_hidden(
         # sliding window must be static for mask shapes; it is an int array
         # but used only in comparisons so tracing is fine
         sw = jnp.where(slide > 0, slide, jnp.iinfo(jnp.int32).max)
-        x, cache = _block(x, layer_params, cfg, positions, cache, cos, sin, sw)
+        x, cache = _block(x, layer_params, cfg, positions, cache, cos, sin, sw,
+                          attn_window)
         if paged:
             return x, (cache.k_pool, cache.v_pool)
         if cache is not None:

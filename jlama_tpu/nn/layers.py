@@ -151,8 +151,16 @@ def self_attention_block(
     cos: jnp.ndarray | None,
     sin: jnp.ndarray | None,
     sliding_window: int | None,
+    attn_window: int | None = None,
 ) -> tuple[jnp.ndarray, KVLayerCache | None]:
-    """QKV projections, RoPE, cache update, attention, output projection."""
+    """QKV projections, RoPE, cache update, attention, output projection.
+
+    attn_window: static upper bound on the live context (bucketed by the
+    caller). The XLA attention path then gathers/masks only that many cache
+    slots instead of the full padded window — the reference analog is
+    iterating pages only up to the current position
+    (CausalSelfAttention.java:314-356).
+    """
     B, T, D = x.shape
     hd = cfg.head_size
 
@@ -188,6 +196,15 @@ def self_attention_block(
             cache.k_pool, cache.v_pool, k, v, cache.page_tables, positions
         )
         cache = PagedLayerCache(k_pool, v_pool, cache.page_tables)
+        # static live-context bound: gather only the page-table columns that
+        # can hold tokens < attn_window
+        ps = (
+            k_pool.data if hasattr(k_pool, "data") else k_pool
+        ).shape[2]
+        page_tables = cache.page_tables
+        if attn_window is not None:
+            live_p = min(-(-attn_window // ps), page_tables.shape[1])
+            page_tables = page_tables[:, :live_p]
 
         if cfg.attention_multiplier is not None:
             scale = cfg.attention_multiplier
@@ -218,7 +235,7 @@ def self_attention_block(
                 paged_attention,
             )
 
-            P = cache.page_tables.shape[1]
+            P = page_tables.shape[1]
             ppcb = 1
             for c in (8, 4, 2, 1):
                 if P % c == 0:
@@ -229,13 +246,13 @@ def self_attention_block(
                 k_pool,
                 v_pool,
                 lengths=positions[:, 0] + 1,
-                page_indices=cache.page_tables,
+                page_indices=page_tables,
                 pages_per_compute_block=ppcb,
                 attn_logits_soft_cap=cfg.attn_logit_softcap,
             )  # [B, n_heads, hd]
             out = out[:, None].astype(x.dtype)
         else:
-            k_gath, v_gath = gather_kv_layer(k_pool, v_pool, cache.page_tables)
+            k_gath, v_gath = gather_kv_layer(k_pool, v_pool, page_tables)
             k_att = k_gath.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
             v_att = v_gath.transpose(0, 2, 1, 3)
             kv_len = k_att.shape[2]
@@ -262,6 +279,11 @@ def self_attention_block(
         cache = KVLayerCache(k_cache, v_cache)
         k_att, v_att = k_cache, v_cache
         kv_len = S
+        if attn_window is not None and attn_window < S:
+            # static slice: attention reads only the live context prefix
+            k_att = k_cache[:, :, :attn_window]
+            v_att = v_cache[:, :, :attn_window]
+            kv_len = attn_window
     else:
         k_att, v_att = k_new, v_new
         kv_len = T

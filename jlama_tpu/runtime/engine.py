@@ -127,21 +127,27 @@ class Engine:
         self.sessions: dict[str, Session] = {}
         self.max_device_sessions = max_device_sessions
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnums=())
-        def _prefill(params, cache, tokens, positions):
+        # attn_window (static, bucketed by the caller) bounds the KV slots
+        # attention reads — without it every step gathers/masks the full
+        # max_seq_len window (cf. CausalSelfAttention.java:314-356 iterating
+        # pages only up to the current position)
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(4,))
+        def _prefill(params, cache, tokens, positions, attn_window):
             hidden, cache = forward_hidden(
-                params, cfg, tokens, positions, cache, dtype=compute_dtype
+                params, cfg, tokens, positions, cache, dtype=compute_dtype,
+                attn_window=attn_window,
             )
             return hidden, cache
 
         # top_k must stay static (lax.top_k needs a static k) but top_p is
         # traced — only the boolean "any nucleus filtering at all" is static,
         # so changing top_p values never recompiles (VERDICT r1 weak #8)
-        @partial(jax.jit, donate_argnums=(1,), static_argnums=(6, 8))
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(6, 8, 9))
         def _decode(params, cache, token, position, key, temperature, top_k,
-                    top_p, no_top_p):
+                    top_p, no_top_p, attn_window):
             hidden, cache = forward_hidden(
-                params, cfg, token, position, cache, dtype=compute_dtype
+                params, cfg, token, position, cache, dtype=compute_dtype,
+                attn_window=attn_window,
             )
             logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
             next_tok = sample_token(
@@ -261,8 +267,9 @@ class Engine:
             # that later occupies each slot (cache write precedes attention
             # within a step), so they never leak into results
             pos = np.arange(start_pos, start_pos + bucket, dtype=np.int32)[None, :]
+            win = min(_bucket(start_pos + bucket), self.max_seq_len)
             hidden, sess.cache = self._prefill(
-                self.params, sess.cache, jnp.asarray(toks), jnp.asarray(pos)
+                self.params, sess.cache, jnp.asarray(toks), jnp.asarray(pos), win
             )
         prompt_time = (time.perf_counter() - t0) * 1000
 
@@ -284,6 +291,7 @@ class Engine:
                 top_k,
                 jnp.float32(top_p),
                 top_p >= 1.0,
+                min(_bucket(cur_pos + 1), self.max_seq_len),
             )
             nxt = int(tok[0])
             cur_pos += 1

@@ -169,19 +169,25 @@ class BatchScheduler:
         self._running = False
         self._thread: threading.Thread | None = None
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def _prefill(params, state: PagedKVState, tokens, positions, pt):
+        # attn_window (static, bucketed) bounds how many page-table columns
+        # the attention gather touches; without it every prefill chunk reads
+        # the full max-context window per layer
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(5,))
+        def _prefill(params, state: PagedKVState, tokens, positions, pt,
+                     attn_window):
             _, cache = forward_hidden(
-                params, cfg, tokens, positions, (state, pt), dtype=compute_dtype
+                params, cfg, tokens, positions, (state, pt), dtype=compute_dtype,
+                attn_window=attn_window,
             )
             return cache[0]
 
-        @partial(jax.jit, donate_argnums=(1, 9), static_argnums=(10, 11))
+        @partial(jax.jit, donate_argnums=(1, 9), static_argnums=(10, 11, 14))
         def _decode(params, state: PagedKVState, tokens, positions, pts,
                     seeds, steps, temps, top_ps, counts, all_top_p_one,
-                    use_penalties, pres_pens, freq_pens):
+                    use_penalties, pres_pens, freq_pens, attn_window):
             hidden, cache = forward_hidden(
-                params, cfg, tokens, positions, (state, pts), dtype=compute_dtype
+                params, cfg, tokens, positions, (state, pts), dtype=compute_dtype,
+                attn_window=attn_window,
             )
             logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
             if use_penalties:
@@ -336,9 +342,13 @@ class BatchScheduler:
                     req.position, req.position + bucket, dtype=np.int32
                 )[None, :]
                 pt = jnp.asarray(self.kv.page_table([key]))
+                win = min(
+                    _bucket(req.position + bucket),
+                    self.kv.max_pages_per_seq * ps,
+                )
                 self.kv.state = self._prefill(
                     self.params, self.kv.state, jnp.asarray(toks),
-                    jnp.asarray(pos), pt,
+                    jnp.asarray(pos), pt, win,
                 )
                 req._pf_done += chunk
                 req.position += chunk
@@ -503,12 +513,16 @@ class BatchScheduler:
 
         pts = jnp.asarray(self.kv.page_table(seq_ids))
         use_pen = bool(np.any(pres != 0.0) or np.any(freq != 0.0))
+        win = min(
+            _bucket(int(positions.max()) + 1),
+            self.kv.max_pages_per_seq * ps,
+        )
         toks, self.kv.state, self.counts = self._decode(
             self.params, self.kv.state, jnp.asarray(tokens),
             jnp.asarray(positions), pts, jnp.asarray(seeds),
             jnp.asarray(steps), jnp.asarray(temps), jnp.asarray(top_ps),
             self.counts, bool(np.all(top_ps >= 1.0)), use_pen,
-            jnp.asarray(pres), jnp.asarray(freq),
+            jnp.asarray(pres), jnp.asarray(freq), win,
         )
         toks_host = np.asarray(toks)
 
