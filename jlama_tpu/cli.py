@@ -47,6 +47,26 @@ def _enable_compile_cache() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+def _pallas_enabled(args) -> bool:
+    """Quantized weights repack to the fused-kernel layout by default on TPU
+    backends — `serve` on a JQ4 dir must hit the Pallas kernel with no flag
+    (the XLA dequant path costs ~4x the HBM reads per decode step)."""
+    mode = getattr(args, "pallas", "auto")
+    if mode in ("on", "off"):
+        return mode == "on"
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _maybe_repack_pallas(params, args):
+    if _pallas_enabled(args):
+        from .ops.pallas_q4 import prepare_params_for_pallas
+
+        params = prepare_params_for_pallas(params)
+    return params
+
+
 def _load_engine(args, for_serving: bool = False):
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -57,10 +77,7 @@ def _load_engine(args, for_serving: bool = False):
     model_dir = _resolve_model(args.model)
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.working_dtype]
     params, cfg = load_params(model_dir, float_dtype=dtype)
-    if getattr(args, "use_pallas", False):
-        from .ops.pallas_q4 import prepare_params_for_pallas
-
-        params = prepare_params_for_pallas(params)
+    params = _maybe_repack_pallas(params, args)
     tokenizer = load_tokenizer(model_dir)
     return params, cfg, tokenizer, model_dir
 
@@ -167,10 +184,7 @@ def cmd_serve(args) -> None:
         model_dir = _resolve_model(args.model)
         params, cfg = load_params_sharded(model_dir, None, mesh)
         tokenizer = load_tokenizer(model_dir)
-        if getattr(args, "use_pallas", False):
-            from .ops.pallas_q4 import prepare_params_for_pallas
-
-            params = prepare_params_for_pallas(params)
+        params = _maybe_repack_pallas(params, args)
     else:
         params, cfg, tokenizer, model_dir = _load_engine(args, for_serving=True)
 
@@ -190,12 +204,16 @@ def cmd_serve(args) -> None:
         kv_dtype=kv_dtype,
         mesh=mesh,
     )
-    # embeddings/classification endpoint rides the same weights through a
-    # lightweight Engine (jits lazily; no extra HBM) — VERDICT r1 weak #4
+    # HBM hygiene: exactly ONE copy of the layer weights stays live — the
+    # scheduler's fused tree. The embeddings/classification Engine shares it
+    # (fuse=False: already fused), and the pre-fuse tree is dropped here
+    # (8B-JQ4 would otherwise hold ~3 copies of wqkv/w13 and not fit a v5e).
+    del params
     from .runtime.engine import Engine
 
     sched.embed_engine = Engine(
-        params, cfg, tokenizer, max_seq_len=args.context, mesh=None
+        sched.params, cfg, tokenizer, max_seq_len=args.context, mesh=None,
+        fuse=False, moe_ragged=False,
     )
     server = OpenAIServer(sched, tokenizer, model_name=model_dir.name)
     print(f"Serving {model_dir.name} on http://{args.host}:{args.port}")
@@ -265,8 +283,9 @@ def _add_model_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("model", help="model directory or HF id (under model home)")
     p.add_argument("--working-dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--context", type=int, default=4096)
-    p.add_argument("--use-pallas", action="store_true",
-                   help="use the fused Pallas q4 kernels for quantized weights")
+    p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
+                   help="fused Pallas q4 kernels for quantized weights "
+                   "(auto: on for TPU backends, off elsewhere)")
     p.add_argument("--layer-mode", choices=["scan", "unrolled"], default="scan",
                    help="unrolled: ~2x decode throughput, slow compile")
 

@@ -259,10 +259,13 @@ def _fuse_layer_dict(d: dict) -> dict:
     out = dict(d)
     qkv = [d.get("wq"), d.get("wk"), d.get("wv")]
     fmts = {w.fmt if isinstance(w, QArray) else None for w in qkv if w is not None}
-    if all(w is not None for w in qkv) and len(fmts) == 1:
+    biases = [d.get("wq.bias"), d.get("wk.bias"), d.get("wv.bias")]
+    n_bias = sum(b is not None for b in biases)
+    # bias presence must be uniform (all three or none): fusing weights while
+    # dropping a partial bias set would silently change the model's outputs
+    if all(w is not None for w in qkv) and len(fmts) == 1 and n_bias in (0, 3):
         out["wqkv"] = _concat_rows(qkv)
-        biases = [d.get("wq.bias"), d.get("wk.bias"), d.get("wv.bias")]
-        if all(b is not None for b in biases):
+        if n_bias == 3:
             out["wqkv.bias"] = jnp.concatenate(biases, axis=-1)
         for k in ("wq", "wk", "wv", "wq.bias", "wk.bias", "wv.bias"):
             out.pop(k, None)

@@ -252,7 +252,9 @@ def self_attention_block(
             )  # [B, n_heads, hd]
             out = out[:, None].astype(x.dtype)
         else:
-            k_gath, v_gath = gather_kv_layer(k_pool, v_pool, page_tables)
+            k_gath, v_gath = gather_kv_layer(
+                k_pool, v_pool, page_tables, dtype=x.dtype
+            )
             k_att = k_gath.transpose(0, 2, 1, 3)  # [B, n_kv, S, hd]
             v_att = v_gath.transpose(0, 2, 1, 3)
             kv_len = k_att.shape[2]

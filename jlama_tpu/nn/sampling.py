@@ -23,11 +23,14 @@ def sample_token(
 ) -> jnp.ndarray:
     """Sample one token per row. Returns [B] int32.
 
-    temperature/top_p may be traced scalars OR per-row [B] arrays (for
+    temperature/top_p/top_k may be traced scalars OR per-row [B] arrays (for
     continuous batching where each sequence carries its own sampling
-    params); temperature 0 → greedy (argmax) for that row. When `keys` is
-    given each row draws from its own PRNG stream (per-request `seed`
-    reproducibility under continuous batching); `key` is ignored.
+    params); temperature 0 → greedy (argmax) for that row; top_k <= 0 for a
+    row keeps all tokens. Passing the STATIC int 0 for top_k (resp. a static
+    top_p >= 1.0) skips the full-vocab sort entirely — changing top_k/top_p
+    VALUES never recompiles the decode step. When `keys` is given each row
+    draws from its own PRNG stream (per-request `seed` reproducibility under
+    continuous batching); `key` is ignored.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -44,9 +47,17 @@ def sample_token(
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
 
-    if top_k and top_k > 0:
-        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
-        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    static_no_top_k = isinstance(top_k, int) and top_k <= 0
+    if not static_no_top_k:
+        V = logits.shape[-1]
+        top_k_arr = jnp.broadcast_to(
+            jnp.asarray(top_k, jnp.int32), (logits.shape[0],)
+        )
+        sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+        k_eff = jnp.clip(top_k_arr, 1, V)
+        kth = jnp.take_along_axis(sorted_desc, (k_eff - 1)[:, None], axis=-1)
+        keep_all = ((top_k_arr <= 0) | (top_k_arr >= V))[:, None]
+        scaled = jnp.where((scaled >= kth) | keep_all, scaled, -jnp.inf)
 
     static_no_top_p = isinstance(top_p, (int, float)) and top_p >= 1.0
     if not static_no_top_p:

@@ -9,8 +9,10 @@ contraction is over the last axis of both (`y = x @ w.T`), which keeps the
 block-32 quantization axis on the reduction dim.
 
 The XLA path below is the reference implementation; `jlama_tpu.ops.pallas_q4`
-provides the fused dequant+matmul kernels used on real TPUs (toggle with
-`use_pallas`).
+provides the fused dequant+matmul kernels used on real TPUs. Dispatch is by
+weight FORMAT: q4/q8 take the XLA dequant path, q4k (the kernel layout that
+`prepare_params_for_pallas` repacks to at load time, the default on TPU
+backends) takes the Pallas kernel.
 """
 
 from __future__ import annotations
@@ -19,13 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.qarray import QArray
-
-_USE_PALLAS = False
-
-
-def set_use_pallas(flag: bool) -> None:
-    global _USE_PALLAS
-    _USE_PALLAS = flag
 
 
 def _dot_last(x: jnp.ndarray, w: jnp.ndarray, out_dtype) -> jnp.ndarray:
@@ -41,7 +36,7 @@ def linear(x: jnp.ndarray, w, bias: jnp.ndarray | None = None, out_dtype=None):
     """y = x @ w.T (+ bias). w: jnp array [out, in] or QArray [out, in]."""
     out_dtype = out_dtype or x.dtype
     if isinstance(w, QArray):
-        if w.fmt == "q4k" or (_USE_PALLAS and w.fmt == "q4"):
+        if w.fmt == "q4k":
             from . import pallas_q4
 
             y = pallas_q4.q4_matmul(x, w, out_dtype=out_dtype)

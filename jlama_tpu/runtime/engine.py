@@ -65,10 +65,19 @@ class Session:
 
 
 def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)) -> int:
+    """Static-shape bucket for attn_window / prefill length.
+
+    Geometric everywhere (powers of two past 8192) so the number of jit
+    specializations stays logarithmic in context length — linear 256-token
+    buckets would recompile the decode step every 256 generated tokens on
+    long contexts (multi-second stalls)."""
     for b in buckets:
         if n <= b:
             return b
-    return ((n + 255) // 256) * 256
+    b = buckets[-1]
+    while b < n:
+        b *= 2
+    return b
 
 
 class Engine:
@@ -139,19 +148,19 @@ class Engine:
             )
             return hidden, cache
 
-        # top_k must stay static (lax.top_k needs a static k) but top_p is
-        # traced — only the boolean "any nucleus filtering at all" is static,
-        # so changing top_p values never recompiles (VERDICT r1 weak #8)
-        @partial(jax.jit, donate_argnums=(1,), static_argnums=(6, 8, 9))
+        # top_k and top_p are traced — only the booleans "any filtering at
+        # all" are static, so changing top_k/top_p VALUES never recompiles
+        # (the sort-threshold top_k in nn.sampling needs no static k)
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(8, 9, 10))
         def _decode(params, cache, token, position, key, temperature, top_k,
-                    top_p, no_top_p, attn_window):
+                    top_p, no_top_k, no_top_p, attn_window):
             hidden, cache = forward_hidden(
                 params, cfg, token, position, cache, dtype=compute_dtype,
                 attn_window=attn_window,
             )
             logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
             next_tok = sample_token(
-                logits, key, temperature, top_k=top_k,
+                logits, key, temperature, top_k=0 if no_top_k else top_k,
                 top_p=1.0 if no_top_p else top_p,
             )
             return next_tok, cache
@@ -288,8 +297,9 @@ class Engine:
                 jnp.asarray([[cur_pos]], dtype=jnp.int32),
                 sub,
                 jnp.float32(temperature),
-                top_k,
+                jnp.int32(top_k),
                 jnp.float32(top_p),
+                top_k <= 0,
                 top_p >= 1.0,
                 min(_bucket(cur_pos + 1), self.max_seq_len),
             )

@@ -50,6 +50,7 @@ class GenRequest:
     max_new_tokens: int = 256
     temperature: float = 0.0
     top_p: float = 1.0
+    top_k: int = 0
     stop_ids: set[int] = field(default_factory=set)
     stop_strings: list[str] = field(default_factory=list)
     seed: int | None = None  # per-request sampling seed (OpenAI `seed`)
@@ -127,6 +128,14 @@ class BatchScheduler:
             from ..models.base import prepare_moe_ragged
 
             params = prepare_moe_ragged(params)
+        if mesh is not None:
+            # re-apply the wqkv/w13 PartitionSpecs AFTER fusing: the concat of
+            # already-sharded wq/wk/wv would otherwise carry whatever sharding
+            # GSPMD propagates (possibly replicated, inflating per-chip HBM by
+            # the fused-weight size). Same fuse→shard order as Engine.
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, cfg, mesh)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -181,10 +190,13 @@ class BatchScheduler:
             )
             return cache[0]
 
-        @partial(jax.jit, donate_argnums=(1, 9), static_argnums=(10, 11, 14))
+        @partial(
+            jax.jit, donate_argnums=(1, 10), static_argnums=(11, 12, 13, 16)
+        )
         def _decode(params, state: PagedKVState, tokens, positions, pts,
-                    seeds, steps, temps, top_ps, counts, all_top_p_one,
-                    use_penalties, pres_pens, freq_pens, attn_window):
+                    seeds, steps, temps, top_ps, top_ks, counts, all_top_p_one,
+                    all_top_k_zero, use_penalties, pres_pens, freq_pens,
+                    attn_window):
             hidden, cache = forward_hidden(
                 params, cfg, tokens, positions, (state, pts), dtype=compute_dtype,
                 attn_window=attn_window,
@@ -201,10 +213,11 @@ class BatchScheduler:
             keys = jax.vmap(
                 lambda s, t: jax.random.fold_in(jax.random.PRNGKey(s), t)
             )(seeds, steps)
-            # statically skip the full-vocab nucleus sort when no request
-            # uses top_p this iteration
+            # statically skip the full-vocab sorts when no request uses
+            # top_p / top_k this iteration
             toks = sample_token(
                 logits, None, temps,
+                top_k=0 if all_top_k_zero else top_ks,
                 top_p=1.0 if all_top_p_one else top_ps, keys=keys,
             )
             if use_penalties:
@@ -486,6 +499,7 @@ class BatchScheduler:
         positions = np.zeros((B, 1), dtype=np.int32)
         temps = np.zeros(B, dtype=np.float32)
         top_ps = np.ones(B, dtype=np.float32)
+        top_ks = np.zeros(B, dtype=np.int32)
         seeds = np.zeros(B, dtype=np.int32)
         steps = np.zeros(B, dtype=np.int32)
         pres = np.zeros(B, dtype=np.float32)
@@ -505,6 +519,7 @@ class BatchScheduler:
             positions[r.slot, 0] = r.position
             temps[r.slot] = r.temperature
             top_ps[r.slot] = r.top_p
+            top_ks[r.slot] = r.top_k
             seeds[r.slot] = r.seed or 0
             steps[r.slot] = len(r.out_ids)
             pres[r.slot] = r.presence_penalty
@@ -521,7 +536,8 @@ class BatchScheduler:
             self.params, self.kv.state, jnp.asarray(tokens),
             jnp.asarray(positions), pts, jnp.asarray(seeds),
             jnp.asarray(steps), jnp.asarray(temps), jnp.asarray(top_ps),
-            self.counts, bool(np.all(top_ps >= 1.0)), use_pen,
+            jnp.asarray(top_ks), self.counts, bool(np.all(top_ps >= 1.0)),
+            bool(np.all(top_ks <= 0)), use_pen,
             jnp.asarray(pres), jnp.asarray(freq), win,
         )
         toks_host = np.asarray(toks)

@@ -164,6 +164,7 @@ class OpenAIServer:
             max_new_tokens=max_tokens,
             temperature=temperature,
             top_p=top_p,
+            top_k=int(body.get("top_k", 0) or 0),
             stop_strings=stop_strings,
             seed=int(seed) if seed is not None else None,
             presence_penalty=float(body.get("presence_penalty", 0.0) or 0.0),
@@ -232,13 +233,13 @@ class OpenAIServer:
 
         await send_chunk({"role": "assistant"})
         stops = req.stop_ids or set(self.sched.cfg.eos_token_ids)
-        pending_ids: list[int] = []
-        emitted = 0
-        # with tools attached the output may be a tool invocation: hold text
-        # back until completion so the raw JSON never leaks as content
-        # (cf. non-streaming path; reference streams text only —
-        # OpenAIChatService.java:109-156 — this goes beyond it)
-        buffer_for_tools = bool(tools)
+        stream_ids: list[int] = []
+        sent = 0  # chars of decoded text already emitted as chunks
+        # with tools attached, plain text still streams incrementally (the
+        # reference streams text regardless, OpenAIChatService.java:109-156);
+        # only from the first '{' on is text held back, so a tool invocation's
+        # raw JSON never leaks as content but a prose answer stays live
+        holding = False
         while True:
             if req.done_event.is_set() and token_q.empty():
                 break
@@ -246,14 +247,23 @@ class OpenAIServer:
                 tok = await asyncio.wait_for(token_q.get(), timeout=0.1)
             except asyncio.TimeoutError:
                 continue
-            if tok in stops or buffer_for_tools:
+            if tok in stops:
                 continue
-            pending_ids.append(tok)
-            text = self.tokenizer.decode(pending_ids)
-            if text and not text.endswith("�"):
-                await send_chunk({"content": text})
-                emitted += len(pending_ids)
-                pending_ids = []
+            stream_ids.append(tok)
+            if holding:
+                continue
+            text = self.tokenizer.decode(stream_ids)
+            if not text or text.endswith("�"):  # partial UTF-8 codepoint
+                continue
+            limit = len(text)
+            if tools:
+                brace = text.find("{", sent)
+                if brace != -1:
+                    limit = brace
+                    holding = True
+            if limit > sent:
+                await send_chunk({"content": text[sent:limit]})
+                sent = limit
 
         resp = req.to_response(self.tokenizer)
         tool_calls = (
@@ -270,26 +280,12 @@ class OpenAIServer:
             )
             finish = "tool_calls"
         else:
-            if buffer_for_tools:
-                if resp.response_text:
-                    await send_chunk({"content": resp.response_text})
-            else:
-                # flush tokens not yet streamed
-                final_ids = [t for t in req.out_ids[emitted:] if t not in stops]
-                if req.text_override is None and final_ids:
-                    text = self.tokenizer.decode(final_ids)
-                    if text:
-                        await send_chunk({"content": text})
-                elif req.text_override is not None:
-                    # stop string hit: the truncated tail was never streamed;
-                    # emit whatever of the override the client hasn't seen
-                    seen = self.tokenizer.decode(
-                        [t for t in req.out_ids[:emitted] if t not in stops]
-                    )
-                    if req.text_override.startswith(seen):
-                        rest = req.text_override[len(seen):]
-                        if rest:
-                            await send_chunk({"content": rest})
+            # flush whatever the client hasn't seen (covers held-back text
+            # that turned out not to be a tool call, the final token of a
+            # MAX_TOKENS finish, and stop-string truncation via text_override)
+            full = resp.response_text
+            if full and len(full) > sent:
+                await send_chunk({"content": full[sent:]})
             finish = (
                 "stop" if req.finish == FinishReason.STOP_TOKEN else "length"
             )
@@ -318,6 +314,7 @@ class OpenAIServer:
             max_new_tokens=int(body.get("max_tokens", 128)),
             temperature=float(body.get("temperature", 0.0) or 0.0),
             top_p=float(body.get("top_p", 1.0) or 1.0),
+            top_k=int(body.get("top_k", 0) or 0),
             stop_strings=(
                 [stop] if isinstance(stop, str) else [str(s) for s in stop or []]
             ),
