@@ -163,14 +163,29 @@ def cmd_serve(args) -> None:
             args.coordinator, args.num_processes, args.process_id
         )
 
+    _enable_compile_cache()  # also applies the JAX_PLATFORMS guard
+    import jax
+
+    from .parallel.mesh import make_mesh, plan_mesh
+
     mesh = None
-    if args.mesh:
-        import jax
-
-        from .parallel.mesh import make_mesh
-
+    n_dev = len(jax.devices())
+    if args.mesh and args.mesh != "auto":
         dp, pp, tp = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh(jax.devices(), dp=dp, pp=pp, tp=tp)
+    elif args.mesh == "auto" or n_dev > 1:
+        # auto shard planner (cf. JlamaService.java:79-126): size the mesh
+        # from the device count, head counts, and checkpoint bytes
+        model_dir = _resolve_model(args.model)
+        from .config import load_config
+
+        cfg_probe = load_config(model_dir)
+        wbytes = sum(f.stat().st_size for f in model_dir.glob("*.safetensors"))
+        mesh = plan_mesh(cfg_probe, jax.devices(), weight_bytes=wbytes or None)
+        print(
+            f"auto mesh over {n_dev} devices: "
+            f"dp={mesh.shape['dp']} pp={mesh.shape['pp']} tp={mesh.shape['tp']}"
+        )
 
     if mesh is not None:
         # shard-local load: each host reads only its devices' byte ranges

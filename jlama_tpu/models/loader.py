@@ -320,10 +320,13 @@ def load_params(
     still span [layer_range), so `forward_hidden(..., layer_range=...)`
     should use 0-based offsets into them.
     """
-    model_dir = Path(model_dir)
+    from ..st.http_loader import is_url, open_weights
+
+    if not is_url(model_dir):
+        model_dir = Path(model_dir)
     if cfg is None:
         cfg = load_config(model_dir)
-    idx = SafeTensorIndex(model_dir)
+    idx = open_weights(model_dir)
     prefix = _strip_prefix(idx, cfg)
     r = PrefixedReader(idx, prefix, float_dtype)
 

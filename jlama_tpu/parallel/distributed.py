@@ -137,9 +137,11 @@ def _load_sharded_llama(model_dir, cfg, mesh: Mesh, float_dtype):
 
     from ..models.loader import PrefixedReader, _strip_prefix, _to_np_float
     from ..nn.qarray import QArray
-    from ..st import SafeTensorIndex
+    from ..st.http_loader import open_weights
 
-    idx = SafeTensorIndex(model_dir)
+    # local dir -> mmap'd range reads; http(s) URL -> ranged fetch per shard
+    # (HTTPSafeTensorLoader.java:114-213 parity)
+    idx = open_weights(model_dir)
     prefix = _strip_prefix(idx, cfg)
     reader = PrefixedReader(idx, prefix, float_dtype)
 

@@ -38,6 +38,83 @@ def make_mesh(
     return Mesh(arr, ("dp", "pp", "tp"))
 
 
+def plan_mesh_axes(
+    n_devices: int,
+    cfg: ModelConfig,
+    weight_bytes: int | None = None,
+    hbm_bytes_per_device: int = 16 << 30,  # v5e
+    kv_reserve_frac: float = 0.35,
+) -> tuple[int, int, int]:
+    """Derive (dp, pp, tp) automatically when no --mesh is given.
+
+    The TPU analog of the reference's shard planner
+    (/root/reference/jlama-net/.../grpc/JlamaService.java:79-126), which
+    rounds head shards to a power of two and sizes shards to ~3B params per
+    worker. Policy here:
+
+    - tp (head sharding) first: the largest power of two that divides both
+      the device count and n_kv_heads — TP rides ICI with one psum per
+      projection and cuts per-token latency.
+    - pp (layer sharding) only when tp alone cannot fit the weights in
+      per-chip HBM (minus a KV-page reserve): smallest stage count that fits
+      and divides n_layers.
+    - dp absorbs the remaining devices (continuous-batching throughput).
+    """
+    if n_devices < 1:
+        raise ValueError("need at least one device")
+    budget = int(hbm_bytes_per_device * (1.0 - kv_reserve_frac))
+    min_shards = 1
+    if weight_bytes:
+        min_shards = max(1, -(-weight_bytes // budget))
+    tp = 1
+    while (
+        tp * 2 <= n_devices
+        and n_devices % (tp * 2) == 0
+        and cfg.n_kv_heads % (tp * 2) == 0
+        and cfg.n_heads % (tp * 2) == 0
+        # embed/lm_head are vocab-row-sharded over tp
+        and cfg.vocab_size % (tp * 2) == 0
+    ):
+        tp *= 2
+    rest = n_devices // tp
+    pp = 1
+    if tp < min_shards:
+        # memory-forced pipeline stages: smallest divisor of the remaining
+        # devices that fits the per-stage weights and divides the layer count
+        for cand in range(2, rest + 1):
+            if rest % cand:
+                continue
+            if cfg.n_layers % cand:
+                continue
+            if tp * cand >= min_shards:
+                pp = cand
+                break
+        else:
+            if rest > 1 and cfg.n_layers % rest == 0:
+                pp = rest  # best effort: all remaining devices as stages
+    dp = rest // pp
+    if weight_bytes and tp * pp < min_shards:
+        raise MemoryError(
+            f"model ({weight_bytes / 1e9:.1f} GB) does not fit on {n_devices} "
+            f"device(s) with {hbm_bytes_per_device / 1e9:.0f} GB HBM each "
+            f"(best mesh dp={dp},pp={pp},tp={tp})"
+        )
+    return dp, pp, tp
+
+
+def plan_mesh(
+    cfg: ModelConfig,
+    devices=None,
+    weight_bytes: int | None = None,
+    hbm_bytes_per_device: int = 16 << 30,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    dp, pp, tp = plan_mesh_axes(
+        len(devices), cfg, weight_bytes, hbm_bytes_per_device
+    )
+    return make_mesh(devices, dp=dp, pp=pp, tp=tp)
+
+
 # sharding rules for stacked layer params: key -> PartitionSpec (without the
 # leading pp/layer axis, which is added automatically)
 _LAYER_RULES: dict[str, P] = {
