@@ -41,6 +41,114 @@ def _stage_forward(stage_params, cfg: ModelConfig, x, positions):
     return x
 
 
+def _stage_forward_kv(stage_params, cfg: ModelConfig, x, positions, k_stage,
+                      v_stage):
+    """Run this stage's layers on x [b, 1, D] with a dense KV cache slice
+    k/v [Ls, b, n_kv, S, hd]; returns (y, k_stage', v_stage')."""
+    from ..models.base import _block
+    from ..nn.layers import KVLayerCache
+    from ..nn.rope import rope_cos_sin, rope_frequencies
+
+    if cfg.rope_theta:
+        inv_freq = jnp.asarray(rope_frequencies(cfg))
+        cos, sin = rope_cos_sin(positions, inv_freq)
+    else:
+        cos = sin = None
+
+    def body(x, layer):
+        params_l, k_l, v_l = layer
+        x, cache = _block(
+            x, params_l, cfg, positions, KVLayerCache(k_l, v_l), cos, sin, None
+        )
+        return x, (cache.k, cache.v)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (stage_params, k_stage, v_stage))
+    return x, k_new, v_new
+
+
+def make_pipelined_decode(cfg: ModelConfig, mesh):
+    """Pipelined DECODE over the pp axis with a per-stage KV cache.
+
+    The reference serves decode across layer shards via its gRPC ring
+    (/root/reference/jlama-net/.../Worker.java:226-248): each worker runs its
+    layer range with its own KvBufferCache and forwards the activation to the
+    next stage. TPU-first redesign: M = pp microbatches of requests are in
+    flight at once; one jitted TICK advances every stage by one
+    (microbatch, stage) cell and rotates activations over ICI with ppermute.
+    After the pipeline fills, every stage computes every tick — each
+    microbatch gets one token per M ticks, so decode throughput matches an
+    unsharded model while the weights and KV of each stage never move.
+
+    shard_map is manual over pp only (`axis_names={'pp'}`); dp/tp stay under
+    GSPMD, so the tp psums inside the blocks are still auto-inserted.
+
+    Returns (tick, M): tick(params, k, v, inflight, tokens, positions, t) ->
+    (k, v, inflight, logits) where
+      k, v      [L, M*b, n_kv, S, hd] (layer axis sharded over pp)
+      inflight  [pp, b, 1, D] activations between stages (sharded over pp)
+      tokens    [M, b] next token ids per microbatch (replicated)
+      positions [M, b] their absolute positions (replicated)
+      logits    [b, vocab] for microbatch (t - pp + 1) mod M — the microbatch
+                that will be fed at tick t+1.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    pp = mesh.shape["pp"]
+    M = pp
+    if cfg.n_layers % pp:
+        raise ValueError("n_layers must divide by pp")
+
+    def tick(top_params, stage_layers, k_stage, v_stage, inflight, tokens,
+             positions, t):
+        from ..models.base import _embed, lm_logits
+
+        stage = jax.lax.axis_index("pp")
+        mb = (t - stage) % M
+        b = tokens.shape[1]
+        tok = jax.lax.dynamic_index_in_dim(tokens, mb, 0, keepdims=False)
+        pos = jax.lax.dynamic_index_in_dim(positions, mb, 0, keepdims=False)
+        tok = tok[:, None]  # [b, 1]
+        pos = pos[:, None]
+        x0 = _embed(top_params, cfg, tok, pos, None, inflight.dtype)
+        x_in = jnp.where(stage == 0, x0, inflight[0])
+
+        # this stage's KV rows for microbatch mb
+        k_rows = jax.lax.dynamic_slice_in_dim(k_stage, mb * b, b, axis=1)
+        v_rows = jax.lax.dynamic_slice_in_dim(v_stage, mb * b, b, axis=1)
+        y, k_rows, v_rows = _stage_forward_kv(
+            stage_layers, cfg, x_in, pos, k_rows, v_rows
+        )
+        k_stage = jax.lax.dynamic_update_slice_in_dim(k_stage, k_rows, mb * b, 1)
+        v_stage = jax.lax.dynamic_update_slice_in_dim(v_stage, v_rows, mb * b, 1)
+
+        # last stage emits logits for its (finished) microbatch
+        # (lm_logits applies the final norm itself)
+        logits = lm_logits(top_params, cfg, y[:, -1:, :])[:, 0]
+        logits = jax.lax.psum(
+            jnp.where(stage == pp - 1, logits, jnp.zeros_like(logits)), "pp"
+        )
+        inflight = jax.lax.ppermute(
+            y[None], "pp", [(i, (i + 1) % pp) for i in range(pp)]
+        )
+        return k_stage, v_stage, inflight, logits
+
+    smapped = jax.shard_map(
+        tick,
+        mesh=mesh,
+        in_specs=(P(), P("pp"), P("pp"), P("pp"), P("pp"), P(), P(), P()),
+        out_specs=(P("pp"), P("pp"), P("pp"), P()),
+        axis_names=frozenset({"pp"}),
+        check_vma=False,
+    )
+
+    def step(params, k, v, inflight, tokens, positions, t):
+        top = {kk: vv for kk, vv in params.items() if kk != "layers"}
+        return smapped(top, params["layers"], k, v, inflight, tokens,
+                       positions, t)
+
+    return jax.jit(step), M
+
+
 def make_pipelined_forward(cfg: ModelConfig, mesh, n_microbatches: int):
     """Build fn(params, tokens [B,T], positions) -> hidden, running the
     transformer stack as a microbatched pipeline over the mesh's pp axis.
