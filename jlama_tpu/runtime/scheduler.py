@@ -117,6 +117,7 @@ class BatchScheduler:
         max_sessions: int = 64,
         fuse: bool = True,
         moe_ragged: bool = True,
+        decode_lag: int | None = None,
     ):
         if fuse:
             from ..models.base import fuse_params
@@ -177,6 +178,20 @@ class BatchScheduler:
         self._lock = threading.Lock()
         self._running = False
         self._thread: threading.Thread | None = None
+        # async decode pipeline depth: when the batch is in steady state
+        # (nothing pending/prefilling, every running row has headroom), up to
+        # `decode_lag` decode steps are dispatched back-to-back with the
+        # sampled tokens fed device-to-device, and the host consumes the
+        # results one window behind. This keeps the per-token host round-trip
+        # (dispatch + D2H sync) off the critical path; stop conditions are
+        # checked up to `decode_lag` tokens late, and any tokens sampled past
+        # a stop are discarded (their KV writes land in slots the next real
+        # token overwrites).
+        if decode_lag is None:
+            import os
+
+            decode_lag = int(os.environ.get("JLAMA_DECODE_LAG", "4"))
+        self.decode_lag = max(1, decode_lag)
 
         # attn_window (static, bucketed) bounds how many page-table columns
         # the attention gather touches; without it every prefill chunk reads
@@ -526,38 +541,87 @@ class BatchScheduler:
             freq[r.slot] = r.frequency_penalty
             seq_ids[r.slot] = key
 
-        pts = jnp.asarray(self.kv.page_table(seq_ids))
         use_pen = bool(np.any(pres != 0.0) or np.any(freq != 0.0))
+
+        # async pipeline depth (see __init__): several decode steps dispatch
+        # back-to-back with device-fed tokens when the batch is steady.
+        # Page capacity for the whole window is ensured BEFORE the page
+        # tables are built, so every window step's KV writes land in mapped
+        # pages.
+        depth = 1
+        if (
+            self.decode_lag > 1
+            and not use_pen
+            and self.pending.empty()
+            and all(
+                r is None or r.state == RequestState.RUNNING for r in self.slots
+            )
+        ):
+            head = min(
+                min(r.max_new_tokens - len(r.out_ids) for r in running),
+                min(self.max_seq_len - 1 - r.position for r in running),
+            )
+            depth = max(1, min(self.decode_lag, head))
+            for r in running:
+                if not self._ensure_capacity_evicting(
+                    self._kv_key(r), r.position + depth, ps
+                ):
+                    depth = 1
+                    break
+
+        pts = jnp.asarray(self.kv.page_table(seq_ids))
         win = min(
-            _bucket(int(positions.max()) + 1),
+            _bucket(int(positions.max()) + depth),
             self.kv.max_pages_per_seq * ps,
         )
-        toks, self.kv.state, self.counts = self._decode(
-            self.params, self.kv.state, jnp.asarray(tokens),
-            jnp.asarray(positions), pts, jnp.asarray(seeds),
-            jnp.asarray(steps), jnp.asarray(temps), jnp.asarray(top_ps),
-            jnp.asarray(top_ks), self.counts, bool(np.all(top_ps >= 1.0)),
-            bool(np.all(top_ks <= 0)), use_pen,
-            jnp.asarray(pres), jnp.asarray(freq), win,
-        )
-        toks_host = np.asarray(toks)
+        tokens_d = jnp.asarray(tokens)
+        positions_d = jnp.asarray(positions)
+        steps_d = jnp.asarray(steps)
+        seeds_d = jnp.asarray(seeds)
+        temps_d = jnp.asarray(temps)
+        top_ps_d = jnp.asarray(top_ps)
+        top_ks_d = jnp.asarray(top_ks)
+        pres_d = jnp.asarray(pres)
+        freq_d = jnp.asarray(freq)
+        all_p1 = bool(np.all(top_ps >= 1.0))
+        all_k0 = bool(np.all(top_ks <= 0))
+        toks_windows = []
+        for k in range(depth):
+            toks, self.kv.state, self.counts = self._decode(
+                self.params, self.kv.state, tokens_d, positions_d, pts,
+                seeds_d, steps_d, temps_d, top_ps_d, top_ks_d, self.counts,
+                all_p1, all_k0, use_pen, pres_d, freq_d, win,
+            )
+            try:
+                toks.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — platform without async D2H
+                pass
+            toks_windows.append(toks)
+            if k + 1 < depth:
+                tokens_d = toks[:, None]
+                positions_d = positions_d + 1
+                steps_d = steps_d + 1
 
-        for r in running:
-            nxt = int(toks_host[r.slot])
-            r.position += 1
-            r.cur_token = nxt
-            r.out_ids.append(nxt)
-            stops = r.stop_ids or set(self.cfg.eos_token_ids)
-            if nxt in stops:
-                self._finish(r, FinishReason.STOP_TOKEN)
-            elif self._check_stop_strings(r):
-                self._finish(r, FinishReason.STOP_TOKEN)
-            elif len(r.out_ids) >= r.max_new_tokens:
-                self._finish(r, FinishReason.MAX_TOKENS)
-            elif r.position + 1 >= self.max_seq_len:
-                self._finish(r, FinishReason.MAX_TOKENS)
-            elif r.on_token is not None:
-                r.on_token(nxt)
+        for toks in toks_windows:
+            toks_host = np.asarray(toks)
+            for r in running:
+                if r.state != RequestState.RUNNING:
+                    continue  # finished earlier in this window; discard
+                nxt = int(toks_host[r.slot])
+                r.position += 1
+                r.cur_token = nxt
+                r.out_ids.append(nxt)
+                stops = r.stop_ids or set(self.cfg.eos_token_ids)
+                if nxt in stops:
+                    self._finish(r, FinishReason.STOP_TOKEN)
+                elif self._check_stop_strings(r):
+                    self._finish(r, FinishReason.STOP_TOKEN)
+                elif len(r.out_ids) >= r.max_new_tokens:
+                    self._finish(r, FinishReason.MAX_TOKENS)
+                elif r.position + 1 >= self.max_seq_len:
+                    self._finish(r, FinishReason.MAX_TOKENS)
+                elif r.on_token is not None:
+                    r.on_token(nxt)
         return len([r for r in self.slots if r is not None])
 
     # ------------------------------------------------------------------

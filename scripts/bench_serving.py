@@ -1,0 +1,136 @@
+"""Serving-path benchmark: BatchScheduler under concurrent requests.
+
+Measures what `jlama-tpu serve` actually delivers (the raw-loop bench.py is
+the kernel ceiling): N concurrent requests through the continuous-batching
+scheduler with the paged KV cache — decode tokens/s/chip, per-request TTFT
+p50, and inter-token latency p95.
+
+Env knobs: JLAMA_BENCH_MODEL=8b|1b, JLAMA_BENCH_QUANT=q4|bf16,
+JLAMA_BENCH_REQS (default 4), JLAMA_BENCH_PROMPT (512),
+JLAMA_BENCH_TOKENS (128), JLAMA_DECODE_LAG (scheduler async pipeline depth),
+JLAMA_BENCH_OUT (artifact path).
+
+Prints ONE JSON line and (optionally) writes it to JLAMA_BENCH_OUT.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jlama_tpu.utils.xla_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax.numpy as jnp
+import numpy as np
+
+# reuse the random-weight builders + SOL math from the headline bench
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench as headline
+
+N_REQS = int(os.environ.get("JLAMA_BENCH_REQS", 4))
+PROMPT = int(os.environ.get("JLAMA_BENCH_PROMPT", 512))
+DECODE = int(os.environ.get("JLAMA_BENCH_TOKENS", 128))
+QUANT = os.environ.get("JLAMA_BENCH_QUANT", "q4")
+MODEL = os.environ.get("JLAMA_BENCH_MODEL", "8b")
+
+
+def main():
+    from jlama_tpu.runtime.scheduler import BatchScheduler, GenRequest
+
+    if MODEL == "8b":
+        from jlama_tpu.models.init import llama_8b_config
+
+        cfg = llama_8b_config()
+    else:
+        from jlama_tpu.models.init import llama_1b_config
+
+        cfg = llama_1b_config()
+
+    params = headline.init_params_device(cfg, quant=QUANT)
+    page_size = 64
+    pages_per_seq = -(-(PROMPT + DECODE + page_size) // page_size)
+    sched = BatchScheduler(
+        params,
+        cfg,
+        n_slots=N_REQS,
+        n_pages=N_REQS * pages_per_seq + 2,
+        page_size=page_size,
+        max_seq_len=PROMPT + DECODE + page_size,
+        kv_dtype=jnp.bfloat16,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def make_req():
+        ids = rng.integers(5, cfg.vocab_size - 5, PROMPT).tolist()
+        token_times: list[float] = []
+        req = GenRequest(
+            prompt_ids=ids,
+            max_new_tokens=DECODE,
+            temperature=0.0,
+            on_token=lambda t, tt=token_times: tt.append(time.perf_counter()),
+        )
+        return req, token_times
+
+    # warmup: compile prefill + decode shapes with a single short request
+    w, _ = make_req()
+    w.max_new_tokens = 8
+    sched.submit(w)
+    while w.state.value != "DONE":
+        sched.step()
+
+    reqs = []
+    times = []
+    t0 = time.perf_counter()
+    for _ in range(N_REQS):
+        r, tt = make_req()
+        reqs.append(r)
+        times.append(tt)
+        sched.submit(r)
+    while any(r.state.value != "DONE" for r in reqs):
+        sched.step()
+    t_end = time.perf_counter()
+
+    total_tokens = sum(len(r.out_ids) for r in reqs)
+    ttfts = sorted((r.t_first - r.t_start) * 1000 for r in reqs)
+    ttft_p50 = ttfts[len(ttfts) // 2]
+    gaps = []
+    for tt in times:
+        gaps += [
+            (b - a) * 1000 for a, b in zip(tt, tt[1:])
+        ]
+    gaps.sort()
+    itl_p95 = gaps[int(0.95 * (len(gaps) - 1))] if gaps else 0.0
+    # decode throughput over the decode phase (first token -> all done)
+    t_decode0 = min(r.t_first for r in reqs)
+    toks_per_s = total_tokens / (t_end - t_decode0)
+    sol = headline.HBM_BW / headline.active_bytes_per_token(cfg, QUANT)
+
+    out = {
+        "metric": f"serving_decode_tokens_per_sec_per_chip_llama{MODEL}_{QUANT}",
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_s / sol, 4),
+        "concurrency": N_REQS,
+        "prompt_tokens": PROMPT,
+        "decode_tokens": DECODE,
+        "ttft_ms_p50": round(ttft_p50, 1),
+        "inter_token_ms_p95": round(itl_p95, 2),
+        "decode_lag": sched.decode_lag,
+        "wall_s": round(t_end - t0, 2),
+        "sol_tokens_per_s": round(sol, 1),
+    }
+    print(json.dumps(out))
+    path = os.environ.get("JLAMA_BENCH_OUT")
+    if path:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

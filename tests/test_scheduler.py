@@ -327,3 +327,59 @@ def test_session_lru_eviction_bounds_hbm(setup):
     while r.state != RequestState.DONE:
         s2.step()
     assert r.finish is not None
+
+
+def test_decode_lag_pipeline_matches(setup):
+    """Async decode pipeline (device-fed tokens, lagged host sync) produces
+    identical tokens to the step-by-step path, including early EOS discard."""
+    eng, _ = setup
+    from jlama_tpu.runtime.scheduler import BatchScheduler
+
+    params, cfg = eng.params, eng.cfg
+    mk = lambda lag: BatchScheduler(  # noqa: E731
+        params, cfg, n_slots=3, n_pages=64, page_size=8, max_seq_len=64,
+        kv_dtype=jnp.float32, compute_dtype=jnp.float32, fuse=False,
+        decode_lag=lag,
+    )
+    s1, s4 = mk(1), mk(4)
+    prompts = [[1, 5, 9, 42, 7], [3, 3, 8], [2, 30, 17, 4]]
+    for temp in (0.0, 0.9):
+        refs = [
+            s1.generate(p, max_new_tokens=10, temperature=temp, seed=11 + i)
+            for i, p in enumerate(prompts)
+        ]
+        gots = [
+            s4.generate(p, max_new_tokens=10, temperature=temp, seed=11 + i)
+            for i, p in enumerate(prompts)
+        ]
+        for r, g in zip(refs, gots):
+            assert g.token_ids == r.token_ids
+            assert g.finish_reason == r.finish_reason
+
+
+def test_decode_lag_concurrent(setup):
+    """Windowed decode with several in-flight requests stays token-exact."""
+    eng, _ = setup
+    from jlama_tpu.runtime.scheduler import BatchScheduler, GenRequest
+
+    params, cfg = eng.params, eng.cfg
+    sched = BatchScheduler(
+        params, cfg, n_slots=4, n_pages=64, page_size=8, max_seq_len=64,
+        kv_dtype=jnp.float32, compute_dtype=jnp.float32, fuse=False,
+        decode_lag=4,
+    )
+    prompts = [[1, 5, 9], [2, 11, 5, 9], [4, 4], [7, 8, 9, 10]]
+    refs = [
+        eng.generate_tokens(p, max_new_tokens=8, temperature=0.0)
+        for p in prompts
+    ]
+    reqs = [
+        GenRequest(prompt_ids=p, max_new_tokens=8, temperature=0.0)
+        for p in prompts
+    ]
+    for r in reqs:
+        sched.submit(r)
+    while any(r.state.value != "DONE" for r in reqs):
+        sched.step()
+    for req, ref in zip(reqs, refs):
+        assert req.out_ids == ref.token_ids
