@@ -183,9 +183,13 @@ def forward_hidden(
             cache = L.KVLayerCache(kc, vc)
         else:
             cache = None
-        # sliding window must be static for mask shapes; it is an int array
-        # but used only in comparisons so tracing is fine
-        sw = jnp.where(slide > 0, slide, jnp.iinfo(jnp.int32).max)
+        # models with no sliding layers get a static None (the flash-prefill
+        # kernel needs a static window); alternating-window models (gemma2)
+        # trace the per-layer scalar, which only the XLA mask path accepts
+        if not bool(np.any(sliding > 0)):
+            sw = None
+        else:
+            sw = jnp.where(slide > 0, slide, jnp.iinfo(jnp.int32).max)
         x, cache = _block(x, layer_params, cfg, positions, cache, cos, sin, sw,
                           attn_window)
         if paged:

@@ -215,7 +215,7 @@ def self_attention_block(
 
         from ..nn.qarray import QArray
 
-        use_kernel = (
+        kernel_ok = (
             flags.USE_PAGED_ATTENTION_KERNEL
             and T == 1
             and cfg.causal
@@ -224,10 +224,24 @@ def self_attention_block(
             # 4 heads) fail lowering — fall back to the XLA gather path
             and cfg.head_size % 64 == 0
             and cfg.n_heads % 8 == 0
-            # quantized (q8) pools dequantize in the gather path
-            and not isinstance(k_pool, QArray)
         )
-        if use_kernel:
+        if kernel_ok and isinstance(k_pool, QArray):
+            # in-tree paged decode kernel: streams only the live pages and
+            # dequantizes the q8 pages in VMEM after the DMA, so quantized
+            # KV composes with the kernel (CausalSelfAttention.java:212-229)
+            from ..ops.pallas_attention import paged_decode
+
+            out = paged_decode(
+                q[:, 0].reshape(B, cfg.n_heads, hd),
+                (k_pool.data, k_pool.scales),
+                (v_pool.data, v_pool.scales),
+                page_tables,
+                positions[:, 0] + 1,
+                scale,
+                softcap=cfg.attn_logit_softcap,
+            )
+            out = out[:, None].astype(x.dtype)
+        elif kernel_ok:
             # Pallas paged-attention decode kernel (double-buffered per-page
             # DMA, online softmax); reads only each sequence's live pages
             # instead of gathering the whole padded window
@@ -251,6 +265,30 @@ def self_attention_block(
                 attn_logits_soft_cap=cfg.attn_logit_softcap,
             )  # [B, n_heads, hd]
             out = out[:, None].astype(x.dtype)
+        elif (
+            flags.USE_FLASH_PREFILL
+            and T > 1
+            and T % 8 == 0
+            and cfg.causal
+            and cfg.head_size % 128 == 0
+            and (sliding_window is None or isinstance(sliding_window, int))
+        ):
+            # flash prefill over the gathered live window: online softmax,
+            # no [B, H, T, S] score materialization
+            from ..ops.pallas_attention import flash_prefill
+
+            k_gath, v_gath = gather_kv_layer(
+                k_pool, v_pool, page_tables, dtype=x.dtype
+            )
+            out = flash_prefill(
+                q.transpose(0, 2, 1, 3),
+                k_gath.transpose(0, 2, 1, 3),
+                v_gath.transpose(0, 2, 1, 3),
+                positions[:, 0],
+                scale,
+                softcap=cfg.attn_logit_softcap,
+                window=sliding_window,
+            ).transpose(0, 2, 1, 3)
         else:
             k_gath, v_gath = gather_kv_layer(
                 k_pool, v_pool, page_tables, dtype=x.dtype
@@ -297,10 +335,34 @@ def self_attention_block(
     else:
         scale = hd**-0.5
 
-    mask = attention_scores_mask(positions, kv_len, cfg.causal, sliding_window)
-    out = multi_head_attention(
-        q, k_att, v_att, mask, scale, cfg.attn_logit_softcap
-    )
+    from ..ops import flags
+
+    if (
+        flags.USE_FLASH_PREFILL
+        and T > 1
+        and T % 8 == 0
+        and cfg.causal
+        and cfg.head_size % 128 == 0
+        and (sliding_window is None or isinstance(sliding_window, int))
+    ):
+        from ..ops.pallas_attention import flash_prefill
+
+        out = flash_prefill(
+            q.transpose(0, 2, 1, 3),
+            k_att.astype(q.dtype),
+            v_att.astype(q.dtype),
+            positions[:, 0],
+            scale,
+            softcap=cfg.attn_logit_softcap,
+            window=sliding_window,
+        ).transpose(0, 2, 1, 3)
+    else:
+        mask = attention_scores_mask(
+            positions, kv_len, cfg.causal, sliding_window
+        )
+        out = multi_head_attention(
+            q, k_att, v_att, mask, scale, cfg.attn_logit_softcap
+        )
     out = out.reshape(B, T, cfg.n_heads * hd)
     out = linear(out, params["wo"], params.get("wo.bias"))
     return out, cache

@@ -20,3 +20,11 @@ if _env is not None:
     USE_PAGED_ATTENTION_KERNEL = _env == "1"
 else:
     USE_PAGED_ATTENTION_KERNEL = _on_tpu()
+
+# In-tree flash prefill kernel (T>1 online-softmax attention): on by default
+# on TPU; the XLA dense-mask path stays the CPU/test reference.
+_env = os.environ.get("JLAMA_FLASH_PREFILL")
+if _env is not None:
+    USE_FLASH_PREFILL = _env == "1"
+else:
+    USE_FLASH_PREFILL = _on_tpu()

@@ -592,10 +592,13 @@ class BatchScheduler:
                 seeds_d, steps_d, temps_d, top_ps_d, top_ks_d, self.counts,
                 all_p1, all_k0, use_pen, pres_d, freq_d, win,
             )
-            try:
-                toks.copy_to_host_async()
-            except Exception:  # noqa: BLE001 — platform without async D2H
-                pass
+            import os as _os
+
+            if not _os.environ.get("JLAMA_NO_ASYNC_COPY"):
+                try:
+                    toks.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — no async D2H here
+                    pass
             toks_windows.append(toks)
             if k + 1 < depth:
                 tokens_d = toks[:, None]

