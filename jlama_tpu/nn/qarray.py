@@ -75,7 +75,9 @@ class QArray:
         return out.reshape(shape).astype(dtype)
 
     def __getitem__(self, idx) -> "QArray":
-        return QArray(self.data[idx], self.scales[idx], self.fmt)
+        # q4s carries a (sigma, swk) scales tuple; index each leaf
+        scales = jax.tree.map(lambda s: s[idx], self.scales)
+        return QArray(self.data[idx], scales, self.fmt)
 
 
 def q4_from_checkpoint(packed: np.ndarray, scales: np.ndarray) -> QArray:

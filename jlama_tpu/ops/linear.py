@@ -40,6 +40,10 @@ def linear(x: jnp.ndarray, w, bias: jnp.ndarray | None = None, out_dtype=None):
             from . import pallas_q4
 
             y = pallas_q4.q4_matmul(x, w, out_dtype=out_dtype)
+        elif w.fmt == "q4s":
+            from . import pallas_w8a8
+
+            y = pallas_w8a8.q4s_matmul(x, w, out_dtype=out_dtype)
         else:
             y = _quantized_matmul_xla(x, w, out_dtype)
     else:

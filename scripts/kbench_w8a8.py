@@ -439,7 +439,24 @@ def ref_pk4(x, p3, sg3):
                      np.asarray(sg3)[:, :, 0].astype(np.float64))
 
 
+# ---- q4s: the PRODUCT kernel (ops/pallas_w8a8.py) --------------------------
+
+def _prep_q4s(packed, scales):
+    from jlama_tpu.nn.qarray import QArray
+    from jlama_tpu.ops.pallas_w8a8 import to_q4s
+
+    q = to_q4s(QArray(packed, scales, "q4"))
+    return (q.data, q.scales[0], q.scales[1])
+
+
+def _q4s_fn(x, packed3, sig, sw):
+    from jlama_tpu.ops.pallas_w8a8 import q4s_matmul_2d
+
+    return q4s_matmul_2d(x, packed3, sig, sw)
+
+
 VARIANTS = {
+    "q4s": (_prep_q4s, _q4s_fn, None, 0.875),  # correctness in tests/test_pallas_w8a8.py
     "xb8": (_prep_xb8, xb8, 2e-2, 2.0),
     "xb4": (_prep_xb4, xb4, 2e-2, 1.0),
     "xb4f": (_prep_xb4f, xb4f, 2e-2, 1.0),

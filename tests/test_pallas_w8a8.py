@@ -1,0 +1,124 @@
+"""w8a8 (q4s) kernel: format bounds + interpret-mode equivalence."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from jlama_tpu.nn.qarray import QArray, quantize_q4
+from jlama_tpu.ops.pallas_w8a8 import (
+    GROUP,
+    q4s_dequantize_np,
+    q4s_matmul,
+    to_q4s,
+)
+from jlama_tpu.quant.blockq import q4_dequantize_np, q8_quantize
+
+
+def _rand_q4(key, n, k):
+    w = jax.random.normal(key, (n, k), jnp.float32) * 0.05
+    return quantize_q4(np.asarray(w))
+
+
+def test_q4s_rerounding_bounded():
+    """Every re-rounded weight stays within 0.66 q4-steps of the original
+    dequantized value (eff <= (8/7 + 1/16-grid) * |sb|, half-step rounding)."""
+    q4 = _rand_q4(jax.random.PRNGKey(0), 64, 512)
+    orig = q4_dequantize_np(np.asarray(q4.data), np.asarray(q4.scales))
+    q4s = to_q4s(q4)
+    deq = q4s_dequantize_np(q4s)
+    step = np.abs(np.asarray(q4.scales)).repeat(32, axis=1)
+    err = np.abs(deq - orig)
+    # eff <= (8/7)*max|sb| * ceil-grid slack; bound by 0.7 * group max step
+    gmax = step.reshape(64, -1, GROUP).max(axis=2, keepdims=True)
+    bound = 0.66 * np.broadcast_to(gmax, err.reshape(64, -1, GROUP).shape)
+    assert np.all(err.reshape(64, -1, GROUP) <= bound + 1e-7), float(
+        (err.reshape(64, -1, GROUP) - bound).max()
+    )
+
+
+def test_q4s_negative_scales_exact():
+    """JQ4 scales are signed (extreme/-8); signs must fold exactly."""
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(8, GROUP)).astype(np.float32)
+    w[0, :32] = -w[0, :32]  # force both signs of the extreme
+    q4 = quantize_q4(w)
+    assert float(np.asarray(q4.scales).min()) < 0  # signed scales present
+    orig = q4_dequantize_np(np.asarray(q4.data), np.asarray(q4.scales))
+    deq = q4s_dequantize_np(to_q4s(q4))
+    assert np.abs(deq - orig).max() <= 0.7 * np.abs(np.asarray(q4.scales)).max()
+
+
+def test_q4s_matmul_matches_exact_dequant_interpret():
+    """Kernel output == x_q8 @ dequant(q4s).T within activation-quant noise;
+    and == the int-exact reference when activations are exactly int8-scaled."""
+    n, k, m = 256, 512, 4
+    key = jax.random.PRNGKey(1)
+    q4 = _rand_q4(key, n, k)
+    q4s = to_q4s(q4)
+    wt = q4s_dequantize_np(q4s)  # [n, k] exact
+
+    # activations constructed so per-group int8 quantization is LOSSLESS:
+    # integers in [-127, 127] scaled by a per-group power of two
+    rng = np.random.default_rng(0)
+    ints = rng.integers(-127, 128, (m, k)).astype(np.float32)
+    x = jnp.asarray(ints * 0.5)
+
+    y = np.asarray(q4s_matmul(x, q4s, out_dtype=jnp.float32, interpret=True))
+    ref = np.asarray(x, np.float32) @ wt.T
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-3, rel
+
+
+def test_q4s_close_to_q4_xla_path():
+    """End-to-end: q4s kernel vs the exact f32 q4 dequant matmul. The only
+    differences are the load-time re-rounding and activation quantization;
+    both are NOISE relative to the model's own q4 noise, so the gates are
+    statistical: weight-space RMS noise grows < 35% over q4's own, and the
+    matmul outputs stay within 2% RMS of the q4 reference."""
+    n, k, m = 128, 512, 2
+    key = jax.random.PRNGKey(2)
+    w = np.asarray(jax.random.normal(key, (n, k), jnp.float32)) * 0.05
+    q4 = quantize_q4(w)
+    q4s = to_q4s(q4)
+    wt_q4 = q4_dequantize_np(np.asarray(q4.data), np.asarray(q4.scales))
+    wt_q4s = q4s_dequantize_np(q4s)
+    q4_noise = np.sqrt(np.mean((wt_q4 - w) ** 2))
+    q4s_noise = np.sqrt(np.mean((wt_q4s - w) ** 2))
+    assert q4s_noise < 1.35 * q4_noise, (q4s_noise, q4_noise)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (m, k), jnp.float32)
+    y = np.asarray(q4s_matmul(x, q4s, out_dtype=jnp.float32, interpret=True))
+    ref = np.asarray(x) @ wt_q4.T
+    rms_rel = np.sqrt(np.mean((y - ref) ** 2)) / (
+        np.sqrt(np.mean(ref**2)) + 1e-9
+    )
+    assert rms_rel < 2e-2, rms_rel
+
+
+def test_prepare_params_and_linear_dispatch():
+    from jlama_tpu.ops.linear import linear
+    from jlama_tpu.ops.pallas_w8a8 import prepare_params_for_w8a8
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, k, L = 64, 256, 2
+    q4 = _rand_q4(jax.random.PRNGKey(4), L * n, k)
+    stacked = QArray(
+        q4.data.reshape(L, n, k // 2), q4.scales.reshape(L, n, k // 32), "q4"
+    )
+    params = {"layers": {"wq": stacked}, "embed": _rand_q4(jax.random.PRNGKey(5), 96, k)}
+    out = prepare_params_for_w8a8(params)
+    assert out["layers"]["wq"].fmt == "q4s"
+    assert out["layers"]["wq"].data.shape == (L, k // GROUP, n, 128)
+    assert out["embed"].fmt == "q4"  # positional gather stays canonical
+    assert out["lm_head"].fmt == "q4s"  # tied head gets the kernel copy
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, k), jnp.float32)
+    layer0 = out["layers"]["wq"][0]
+    with pltpu.force_tpu_interpret_mode():
+        y = linear(x, layer0, out_dtype=jnp.float32)
+    wt = q4s_dequantize_np(layer0)
+    rel = np.abs(np.asarray(y) - np.asarray(x) @ wt.T).max() / (
+        np.abs(np.asarray(x) @ wt.T).max() + 1e-9
+    )
+    assert rel < 4e-2, rel
