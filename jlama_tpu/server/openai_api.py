@@ -72,6 +72,7 @@ class OpenAIServer:
         self.app.router.add_get("/healthz", self.health)
         self.app.router.add_get("/", self.ui)
         self.app.router.add_get("/ui", self.ui)
+        self.app.router.add_get("/admin/topology", self.topology_ui)
 
     # ------------------------------------------------------------------
 
@@ -420,6 +421,13 @@ class OpenAIServer:
         from pathlib import Path
 
         page = Path(__file__).parent / "webapp" / "index.html"
+        return web.Response(text=page.read_text(), content_type="text/html")
+
+    async def topology_ui(self, request: web.Request) -> web.Response:
+        """Admin topology page (cf. webapp/admin/topology.html)."""
+        from pathlib import Path
+
+        page = Path(__file__).parent / "webapp" / "topology.html"
         return web.Response(text=page.read_text(), content_type="text/html")
 
     # ------------------------------------------------------------------

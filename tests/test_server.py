@@ -118,12 +118,14 @@ def test_models_and_topology(server):
         m = await (await client.get("/v1/models")).json()
         t = await (await client.get("/cluster/topology")).json()
         h = await (await client.get("/healthz")).json()
-        return m, t, h
+        a = await (await client.get("/admin/topology")).text()
+        return m, t, h, a
 
-    m, t, h = _run(_with_client(server, fn))
+    m, t, h, a = _run(_with_client(server, fn))
     assert m["data"][0]["id"] == "tiny-test"
     assert t["n_slots"] == 2 and "devices" in t
     assert h["status"] == "ok"
+    assert "cluster topology" in a  # admin HTML page
 
 
 def test_session_affinity_header(server):
