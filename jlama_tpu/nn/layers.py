@@ -427,6 +427,16 @@ def moe_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
     if "experts.w1_t" in params:
         return _moe_ragged(x, params, cfg, topk_w, topk_idx)
 
+    from .qarray import QArray
+
+    if isinstance(params["experts.w1"], QArray) and B * T * K <= 8:
+        # quantized experts, decode-sized batch: gather ONLY the selected
+        # experts' packed payloads (top-k of E) instead of computing every
+        # expert — E/K fewer weight bytes per step, the configs where
+        # bandwidth matters most (cf. MoEBlock.java:101-144, which also
+        # touches only the selected experts)
+        return _moe_gathered(x, params, cfg, topk_w, topk_idx)
+
     # combine weights as dense [B,T,E]
     combine = jnp.zeros((B, T, E), router_logits.dtype).at[
         jnp.arange(B)[:, None, None],
@@ -445,6 +455,33 @@ def moe_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
     return jnp.einsum("ebtd,bte->btd", outs.astype(jnp.float32), combine).astype(
         x.dtype
     )
+
+
+def _moe_gathered(x, params, cfg, topk_w, topk_idx):
+    """Per-token expert gather for quantized experts at decode batch sizes:
+    each (token, k) selection dynamically indexes one expert's QArray slice,
+    so only the chosen experts' weights stream from HBM."""
+    B, T, D = x.shape
+    K = cfg.n_experts_per_token
+    N = B * T
+    xf = x.reshape(N, D)
+    w1 = params["experts.w1"]
+    w2 = params["experts.w2"]
+    w3 = params["experts.w3"]
+    idxf = topk_idx.reshape(N, K)
+    wf = topk_w.reshape(N, K)
+    ys = []
+    for t in range(N):  # static, small (<= 8)
+        xi = xf[t : t + 1]
+        acc = jnp.zeros((D,), jnp.float32)
+        for j in range(K):
+            e = idxf[t, j]
+            gate = activation(linear(xi, w1[e]), cfg.activation)
+            up = linear(xi, w3[e])
+            y = linear(gate * up, w2[e], out_dtype=jnp.float32)
+            acc = acc + wf[t, j].astype(jnp.float32) * y[0]
+        ys.append(acc)
+    return jnp.stack(ys).reshape(B, T, D).astype(x.dtype)
 
 
 def _moe_ragged(x, params, cfg, topk_w, topk_idx):

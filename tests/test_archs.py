@@ -284,3 +284,69 @@ def test_mixtral_ragged_matches_dense(tmp_path):
     # and still matches the torch reference
     ref = _ref_logits(m)
     np.testing.assert_allclose(np.asarray(ragged), ref, rtol=3e-3, atol=3e-3)
+
+
+def test_mixtral_quantized_gathered_matches_dense(tmp_path):
+    """Quantized experts at decode batch sizes take the per-token expert
+    GATHER path (only the selected experts' bytes stream from HBM) and must
+    match the dense all-experts fallback."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(11)
+    cfg = dict(
+        model_type="mixtral", hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, num_hidden_layers=2,
+        rms_norm_eps=1e-5, vocab_size=256, max_position_embeddings=128,
+        rope_theta=10000.0, hidden_act="silu", num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    m = MixtralForCausalLM(
+        MixtralConfig(**{k: v for k, v in cfg.items() if k != "model_type"})
+    ).eval()
+    save_torch_model(m, tmp_path, cfg)
+
+    from jlama_tpu.models.loader import load_params
+    from jlama_tpu.models.base import forward_logits
+    from jlama_tpu.nn.qarray import quantize_q4
+    from jlama_tpu.nn import layers as L
+
+    params, mc = load_params(tmp_path, float_dtype=jnp.float32)
+    qlayers = dict(params["layers"])
+    for k in ("experts.w1", "experts.w2", "experts.w3"):
+        qlayers[k] = quantize_q4(np.asarray(qlayers[k], np.float32))
+    qparams = dict(params)
+    qparams["layers"] = qlayers
+
+    tok = jnp.asarray(TOKENS[:, :1])  # decode-sized: B*T*K = 2 <= 8
+    pos = jnp.asarray(np.zeros((1, 1), np.int32))
+    gathered, _ = forward_logits(qparams, mc, tok, pos, dtype=jnp.float32)
+
+    calls = []
+    orig = L._moe_gathered
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    L._moe_gathered = spy
+    try:
+        forward_logits(qparams, mc, tok, pos, dtype=jnp.float32)
+    finally:
+        L._moe_gathered = orig
+    assert calls, "gathered MoE path was not taken for quantized decode"
+
+    # dense fallback reference (force by batching above the threshold)
+    toks8 = jnp.asarray(np.tile(TOKENS[:, :8], (1, 1)))
+    pos8 = jnp.asarray(np.arange(8, dtype=np.int32)[None, :])
+    dense_all, _ = forward_logits(qparams, mc, toks8, pos8, dtype=jnp.float32)
+    gathered8 = []
+    for i in range(8):
+        g, _ = forward_logits(
+            qparams, mc, toks8[:, i : i + 1],
+            pos8[:, i : i + 1] * 0, dtype=jnp.float32,
+        )
+        gathered8.append(np.asarray(g)[0, 0])
+    # position-0 single-token logits must agree between paths
+    np.testing.assert_allclose(
+        gathered8[0], np.asarray(dense_all)[0, 0], rtol=2e-4, atol=2e-4
+    )
