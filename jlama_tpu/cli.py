@@ -218,6 +218,7 @@ def cmd_serve(args) -> None:
         max_seq_len=args.context,
         kv_dtype=kv_dtype,
         mesh=mesh,
+        layer_mode=args.layer_mode,
     )
     # HBM hygiene: exactly ONE copy of the layer weights stays live — the
     # scheduler's fused tree. The embeddings/classification Engine shares it

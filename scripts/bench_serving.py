@@ -62,6 +62,7 @@ def main():
         page_size=page_size,
         max_seq_len=PROMPT + DECODE + page_size,
         kv_dtype=jnp.bfloat16,
+        layer_mode=os.environ.get("JLAMA_LAYER_MODE", "unrolled"),
     )
 
     rng = np.random.default_rng(0)

@@ -383,3 +383,38 @@ def test_decode_lag_concurrent(setup):
         sched.step()
     for req, ref in zip(reqs, refs):
         assert req.out_ids == ref.token_ids
+
+
+def test_unrolled_layer_mode_matches_scan(setup):
+    """Unrolled per-layer weights + per-layer KV pools == scan path tokens,
+    including session suspend/resume through the per-layer pool layout."""
+    eng, _ = setup
+    from jlama_tpu.runtime.scheduler import BatchScheduler
+
+    params, cfg = eng.params, eng.cfg
+    scan_s = BatchScheduler(
+        params, cfg, n_slots=2, n_pages=32, page_size=8, max_seq_len=48,
+        kv_dtype=jnp.float32, compute_dtype=jnp.float32, fuse=False,
+    )
+    unroll = BatchScheduler(
+        params, cfg, n_slots=2, n_pages=32, page_size=8, max_seq_len=48,
+        kv_dtype=jnp.float32, compute_dtype=jnp.float32, fuse=False,
+        layer_mode="unrolled",
+    )
+    prompt = [1, 5, 9, 42, 7]
+    ref = scan_s.generate(prompt, max_new_tokens=8, temperature=0.0)
+    got = unroll.generate(prompt, max_new_tokens=8, temperature=0.0)
+    assert got.token_ids == ref.token_ids
+
+    # session continuity through suspend/resume with per-layer pools
+    r1 = unroll.generate(prompt, max_new_tokens=4, temperature=0.0,
+                         session_id="s1")
+    assert unroll.suspend_session("s1")
+    r2 = unroll.generate([3, 3], max_new_tokens=4, temperature=0.0,
+                         session_id="s1")
+    ref1 = scan_s.generate(prompt, max_new_tokens=4, temperature=0.0,
+                           session_id="s1")
+    ref2 = scan_s.generate([3, 3], max_new_tokens=4, temperature=0.0,
+                           session_id="s1")
+    assert r1.token_ids == ref1.token_ids
+    assert r2.token_ids == ref2.token_ids
