@@ -138,7 +138,7 @@ def q4s_dequantize_np(q: QArray) -> np.ndarray:
 
 
 def _w8a8_kernel(xl_ref, xh_ref, xb_ref, xs_ref, p_ref, sg_ref, sw_ref,
-                 o_ref, acc_ref, *, out_dtype):
+                 o_ref, acc_ref, *, out_dtype, signed_form):
     g = pl.program_id(2)
     ngrp = pl.num_programs(2)
 
@@ -150,28 +150,47 @@ def _w8a8_kernel(xl_ref, xh_ref, xb_ref, xs_ref, p_ref, sg_ref, sw_ref,
     sg = sg_ref[0]  # [bn, 8] u8 (sigma, 1..16)
     slo = pltpu.repeat(sg[:, :BPP], HALF // BPP, axis=1)  # col c -> c mod BPP
     shi = pltpu.repeat(sg[:, BPP:], HALF // BPP, axis=1)
-    lo = (w & jnp.uint8(0x0F)) * slo  # u8, <= 240
-    hi = (w >> jnp.uint8(4)) * shi
-    d = jax.lax.dot_general(
-        xl_ref[...], lo, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    d += jax.lax.dot_general(
-        xh_ref[...], hi, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    # remove the +8 nibble offset: 8 * sum_b xbsum[m,b] * sigma[n,b]
-    sgf = sg.astype(jnp.int32).astype(jnp.float32)  # [bn, 8]
-    corr = jax.lax.dot_general(
-        xb_ref[0], sgf, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [m, bn]
+    if signed_form:
+        # TPU form. This Mosaic SIGN-extends the u8 dot operand (probed), so
+        # build the signed product bits (nibble-8)*sigma directly with
+        # wrapping u8 arithmetic: |(nibble-8)*sigma| <= 7*16 = 112 < 128,
+        # hence bits == two's complement of the true value and the dot's
+        # sign-extension reads them exactly. No offset correction needed.
+        neg8 = jnp.uint8(0) - sg * jnp.uint8(8)  # (-8*sigma) mod 256
+        nlo = pltpu.repeat(neg8[:, :BPP], HALF // BPP, axis=1)
+        nhi = pltpu.repeat(neg8[:, BPP:], HALF // BPP, axis=1)
+        lo = (w & jnp.uint8(0x0F)) * slo + nlo
+        hi = (w >> jnp.uint8(4)) * shi + nhi
+        d = jax.lax.dot_general(
+            xl_ref[...], lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        d += jax.lax.dot_general(
+            xh_ref[...], hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        df = d.astype(jnp.float32)
+    else:
+        # interpret/CPU form: unsigned u8 semantics (products <= 240), the
+        # +8 nibble offset removed by a per-block correction dot
+        lo = (w & jnp.uint8(0x0F)) * slo  # u8, <= 240
+        hi = (w >> jnp.uint8(4)) * shi
+        d = jax.lax.dot_general(
+            xl_ref[...], lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        d += jax.lax.dot_general(
+            xh_ref[...], hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sgf = sg.astype(jnp.int32).astype(jnp.float32)  # [bn, 8]
+        corr = jax.lax.dot_general(
+            xb_ref[0], sgf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [m, bn]
+        df = d.astype(jnp.float32) - 8.0 * corr
     xs = xs_ref[0, 0]  # [m] activation group scales
-    acc_ref[...] += (
-        (d.astype(jnp.float32) - 8.0 * corr)
-        * xs[:, None]
-        * sw_ref[0, 0][None, :]
-    )
+    acc_ref[...] += df * xs[:, None] * sw_ref[0, 0][None, :]
 
     @pl.when(g == ngrp - 1)
     def _():
@@ -214,8 +233,16 @@ def q4s_matmul_2d(
     ).transpose(1, 0, 2)  # [ngrp, m, 8]
     xs3 = xs.T[:, None, :]  # [ngrp, 1, m]
 
+    from .flags import _on_tpu
+
     out = pl.pallas_call(
-        functools.partial(_w8a8_kernel, out_dtype=out_dtype),
+        functools.partial(
+            _w8a8_kernel,
+            out_dtype=out_dtype,
+            # the signed-bits form relies on the TPU Mosaic dot's u8
+            # sign-extension; interpreters and CPU backends zero-extend
+            signed_form=not interpret and _on_tpu(),
+        ),
         out_shape=jax.ShapeDtypeStruct((m_p, n), out_dtype),
         grid=(m_p // bm, n // bn, ngrp),
         in_specs=[
