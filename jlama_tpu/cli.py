@@ -52,7 +52,7 @@ def _pallas_enabled(args) -> bool:
     backends — `serve` on a JQ4 dir must hit the Pallas kernel with no flag
     (the XLA dequant path costs ~4x the HBM reads per decode step)."""
     mode = getattr(args, "pallas", "auto")
-    if mode in ("on", "off"):
+    if mode in ("on", "off", "w8a8"):
         return mode == "on"
     import jax
 
@@ -219,6 +219,7 @@ def cmd_serve(args) -> None:
         kv_dtype=kv_dtype,
         mesh=mesh,
         layer_mode=args.layer_mode,
+        weight_format="q4s" if args.pallas == "w8a8" else None,
     )
     # HBM hygiene: exactly ONE copy of the layer weights stays live — the
     # scheduler's fused tree. The embeddings/classification Engine shares it
@@ -299,7 +300,8 @@ def _add_model_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("model", help="model directory or HF id (under model home)")
     p.add_argument("--working-dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--context", type=int, default=4096)
-    p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
+    p.add_argument("--pallas", choices=["auto", "on", "off", "w8a8"],
+                   default="auto",
                    help="fused Pallas q4 kernels for quantized weights "
                    "(auto: on for TPU backends, off elsewhere)")
     p.add_argument("--layer-mode", choices=["scan", "unrolled"], default="scan",

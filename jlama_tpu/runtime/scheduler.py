@@ -119,6 +119,7 @@ class BatchScheduler:
         moe_ragged: bool = True,
         decode_lag: int | None = None,
         layer_mode: str = "scan",
+        weight_format: str | None = None,
     ):
         if fuse:
             from ..models.base import fuse_params
@@ -130,6 +131,18 @@ class BatchScheduler:
             from ..models.base import prepare_moe_ragged
 
             params = prepare_moe_ragged(params)
+        if weight_format == "q4s":
+            # w8a8 kernel format: MUST repack after fusing (q4s's group-major
+            # layout cannot be concatenated along the output dim)
+            if mesh is not None:
+                raise ValueError("weight_format='q4s' is single-host for now")
+            from ..ops.pallas_w8a8 import prepare_params_for_w8a8
+
+            params = prepare_params_for_w8a8(params)
+        elif weight_format == "q4k":
+            from ..ops.pallas_q4 import prepare_params_for_pallas
+
+            params = prepare_params_for_pallas(params)
         if mesh is not None:
             # re-apply the wqkv/w13 PartitionSpecs AFTER fusing: the concat of
             # already-sharded wq/wk/wv would otherwise carry whatever sharding

@@ -107,9 +107,20 @@ def main():
         ]
     gaps.sort()
     itl_p95 = gaps[int(0.95 * (len(gaps) - 1))] if gaps else 0.0
-    # decode throughput over the decode phase (first token -> all done)
-    t_decode0 = min(r.t_first for r in reqs)
-    toks_per_s = total_tokens / (t_end - t_decode0)
+    # STEADY-STATE decode throughput: tokens emitted while every request is
+    # past prefill and none has finished (counting from the first token to
+    # all requests' decode start would dilute decode with the other
+    # requests' chunked prefills)
+    t_all = max(r.t_first for r in reqs)
+    t_done0 = min(r.t_done for r in reqs)
+    steady = [t for tt in times for t in tt if t_all <= t <= t_done0]
+    if len(steady) > 1:
+        toks_per_s = (len(steady) - 1) / (max(steady) - min(steady))
+    else:  # degenerate (tiny decode budget): fall back to the loose window
+        toks_per_s = total_tokens / (t_end - min(r.t_first for r in reqs))
+    prefill_tok_s = sum(len(r.prompt_ids) for r in reqs) / max(
+        t_all - t0, 1e-9
+    )
     sol = headline.HBM_BW / headline.active_bytes_per_token(cfg, QUANT)
 
     out = {
@@ -122,6 +133,7 @@ def main():
         "decode_tokens": DECODE,
         "ttft_ms_p50": round(ttft_p50, 1),
         "inter_token_ms_p95": round(itl_p95, 2),
+        "prefill_tokens_per_s": round(prefill_tok_s, 1),
         "decode_lag": sched.decode_lag,
         "wall_s": round(t_end - t0, 2),
         "sol_tokens_per_s": round(sol, 1),
