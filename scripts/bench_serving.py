@@ -78,11 +78,16 @@ def main():
         )
         return req, token_times
 
-    # warmup: compile prefill + decode shapes with a single short request
-    w, _ = make_req()
-    w.max_new_tokens = 8
-    sched.submit(w)
-    while w.state.value != "DONE":
+    # warmup: compile every (shape, attn-window-bucket, pipeline-depth)
+    # variant the measured phase will hit — same concurrency, same prompt
+    # size, enough decode to cross the window bucket the run decodes in
+    warm = []
+    for _ in range(N_REQS):
+        w, _ = make_req()
+        w.max_new_tokens = 24
+        warm.append(w)
+        sched.submit(w)
+    while any(w.state.value != "DONE" for w in warm):
         sched.step()
 
     reqs = []
