@@ -151,16 +151,20 @@ def _w8a8_kernel(xl_ref, xh_ref, xb_ref, xs_ref, p_ref, sg_ref, sw_ref,
     slo = pltpu.repeat(sg[:, :BPP], HALF // BPP, axis=1)  # col c -> c mod BPP
     shi = pltpu.repeat(sg[:, BPP:], HALF // BPP, axis=1)
     if signed_form:
-        # TPU form. This Mosaic SIGN-extends the u8 dot operand (probed), so
-        # build the signed product bits (nibble-8)*sigma directly with
-        # wrapping u8 arithmetic: |(nibble-8)*sigma| <= 7*16 = 112 < 128,
-        # hence bits == two's complement of the true value and the dot's
-        # sign-extension reads them exactly. No offset correction needed.
-        neg8 = jnp.uint8(0) - sg * jnp.uint8(8)  # (-8*sigma) mod 256
-        nlo = pltpu.repeat(neg8[:, :BPP], HALF // BPP, axis=1)
-        nhi = pltpu.repeat(neg8[:, BPP:], HALF // BPP, axis=1)
-        lo = (w & jnp.uint8(0x0F)) * slo + nlo
-        hi = (w >> jnp.uint8(4)) * shi + nhi
+        # TPU form. This Mosaic SIGN-extends the u8 dot operand (probed) and
+        # its 8-bit vectors support MUL and bitwise ops but NOT add/sub.
+        # Build the signed product bits (nibble-8)*sigma multiply-only:
+        #   m = nibble ^ 8           (= nibble-8 for nibble>=8)
+        #   v = m | (m & 8) * 30     (sign-extends m<8 cases to 0xF8|nibble)
+        # so v == (nibble-8) mod 256, and v * sigma == (nibble-8)*sigma
+        # mod 256 with |true value| <= 7*16 = 112 < 128 — the dot's
+        # sign-extension reads the bits exactly. No offset correction needed.
+        def sext(nib):
+            m = nib ^ jnp.uint8(8)
+            return m | (m & jnp.uint8(8)) * jnp.uint8(30)
+
+        lo = sext(w & jnp.uint8(0x0F)) * slo
+        hi = sext(w >> jnp.uint8(4)) * shi
         d = jax.lax.dot_general(
             xl_ref[...], lo, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,

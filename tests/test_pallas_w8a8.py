@@ -131,18 +131,20 @@ def test_prepare_params_and_linear_dispatch():
 
 
 def test_signed_form_bits_equal_offset_form():
-    """The TPU kernel form builds (nibble-8)*sigma as wrapping-u8 bits and
-    relies on the Mosaic dot SIGN-extending them (probed behavior). Verify
-    the algebra in numpy: sign-extended wrapped bits == the offset form."""
-    rng = np.random.default_rng(7)
-    nib = rng.integers(1, 16, (64, 128)).astype(np.uint8)
-    sigma = rng.integers(1, 17, (64, 8)).astype(np.uint8)
-    srep = np.repeat(sigma[:, :4], 32, axis=1)  # tiled layout equivalent
-    # wrapping-u8 computation of (nib - 8) * sigma
-    prod = (nib * srep).astype(np.uint8)
-    neg8 = (0 - srep.astype(np.int16) * 8).astype(np.uint8)
-    bits = (prod + neg8).astype(np.uint8)
+    """The TPU kernel form builds (nibble-8)*sigma as wrapping-u8 bits —
+    using only bitwise ops and MUL (this Mosaic has no 8-bit vector add) —
+    and relies on the dot SIGN-extending them (probed behavior). Verify the
+    algebra exhaustively in numpy: for every (nibble, sigma) pair,
+      v = (nib ^ 8) | ((nib ^ 8) & 8) * 30   == (nib - 8) mod 256
+      sign_extend(v * sigma mod 256)         == (nib - 8) * sigma."""
+    nib = np.arange(16, dtype=np.uint8)[:, None].repeat(16, 1)
+    sigma = np.arange(1, 17, dtype=np.uint8)[None, :].repeat(16, 0)
+    m = nib ^ np.uint8(8)
+    v = m | ((m & np.uint8(8)) * np.uint8(30))
+    bits = (v.astype(np.uint16) * sigma).astype(np.uint8)  # wrapping mul
     signed = bits.astype(np.int8).astype(np.int32)  # TPU dot's view
-    expect = (nib.astype(np.int32) - 8) * srep.astype(np.int32)
+    expect = (nib.astype(np.int32) - 8) * sigma.astype(np.int32)
+    # only |values| <= 127 round-trip; q4s guarantees |nib-8| <= 7 except the
+    # never-stored nibble 0 at sigma 16 (-8*16 = -128, still exact in int8)
     np.testing.assert_array_equal(signed, expect)
-    assert np.abs(expect).max() <= 112  # always within int8
+    assert np.abs(expect).max() <= 128
