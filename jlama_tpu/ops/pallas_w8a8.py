@@ -39,8 +39,21 @@ step) per weight; bounded by construction (no clipping is possible) and
 gated end-to-end by the perplexity tests in tests/test_ppl.py.
 
 Mosaic notes (probed on this toolchain): converting u8->i8 before a dot
-HANGS the compiler, while mixed i8 x u8 dot_general lowers fine — so the
-weight operand stays unsigned u8 end-to-end.
+HANGS the compiler; mixed i8 x u8 dot_general lowers but SIGN-extends the
+u8 operand; and 8-bit vector arithmetic is unimplemented — both `arith.addi`
+("Only vector<i16> and vector<i32> are supported") and `arith.muli`
+("failed to legalize") on vector<...xi8> abort the on-chip compile. The
+sigma multiply therefore CANNOT run in the 8-bit domain on current Mosaic,
+which blocks the int8-MXU form of this kernel on TPU: only bitwise ops are
+available on stored bytes, and per-block scales are mathematically
+inseparable from the contraction otherwise (per-block partial dots waste
+8-16x MXU passes; measured). The kernel remains fully functional in
+interpret mode (tests) and the q4s format + tests + this analysis document
+exactly what a Mosaic with 8-bit `muli` support would unlock
+(int8 full-K ingest measured at ~732 GB/s vs the bf16 kernel's 433-495).
+On TPU, `q4s_matmul` raises with this explanation unless
+JLAMA_Q4S_FORCE=1 (which runs the offset form WRONGLY sign-extended —
+debugging only).
 """
 
 from __future__ import annotations
@@ -286,6 +299,19 @@ def q4s_matmul_2d(
 def q4s_matmul(x: jnp.ndarray, w: QArray, out_dtype=jnp.bfloat16,
                interpret=False):
     """y = x @ dequant(w).T for fmt 'q4s' weights, any leading dims of x."""
+    import os
+
+    from .flags import _on_tpu
+
+    if not interpret and _on_tpu() and not os.environ.get("JLAMA_Q4S_FORCE"):
+        raise NotImplementedError(
+            "q4s (w8a8) on TPU is blocked by this Mosaic toolchain: 8-bit "
+            "vector mul/add are unimplemented (arith.muli/addi on "
+            "vector<i8> fail to legalize), so the in-kernel sigma multiply "
+            "cannot run. Use the q4k bf16 kernel (--pallas auto) or set "
+            "JLAMA_Q4S_FORCE=1 for the (numerically wrong on TPU) debug "
+            "path. See ops/pallas_w8a8.py's module docstring."
+        )
     sigma, sw = w.scales
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
