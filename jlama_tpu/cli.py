@@ -208,6 +208,27 @@ def cmd_serve(args) -> None:
     kv_dtype = {"bf16": _jnp.bfloat16, "f32": _jnp.float32, "q8": "q8"}[
         args.kv_dtype
     ]
+    # multi-host step coordination: host 0 owns the scheduler + HTTP server
+    # and broadcasts every device-step's inputs; other processes replay them
+    # in a follower loop (runtime/coordination.py; cf. Coordinator.java's
+    # token loop driving workers, net/Coordinator.java:147-226)
+    step_channel = None
+    if jax.process_count() > 1:
+        from .runtime.coordination import (
+            StepChannel, coordinator_host, default_step_port,
+        )
+
+        sport = getattr(args, "step_port", None) or default_step_port(
+            args.coordinator
+        )
+        if jax.process_index() == 0:
+            print(f"step coordinator on :{sport} "
+                  f"({jax.process_count() - 1} followers)")
+            step_channel = StepChannel.serve(sport, jax.process_count() - 1)
+        else:
+            step_channel = StepChannel.connect(
+                coordinator_host(args.coordinator), sport
+            )
     sched = BatchScheduler(
         params,
         cfg,
@@ -220,21 +241,36 @@ def cmd_serve(args) -> None:
         mesh=mesh,
         layer_mode=args.layer_mode,
         weight_format="q4s" if args.pallas == "w8a8" else None,
+        step_channel=step_channel,
     )
     # HBM hygiene: exactly ONE copy of the layer weights stays live — the
     # scheduler's fused tree. The embeddings/classification Engine shares it
     # (fuse=False: already fused), and the pre-fuse tree is dropped here
     # (8B-JQ4 would otherwise hold ~3 copies of wqkv/w13 and not fit a v5e).
     del params
-    from .runtime.engine import Engine
 
-    sched.embed_engine = Engine(
-        sched.params, cfg, tokenizer, max_seq_len=args.context, mesh=None,
-        fuse=False, moe_ragged=False,
-    )
+    if jax.process_count() > 1 and jax.process_index() > 0:
+        # follower: replay host 0's broadcast steps until it shuts down
+        print(f"follower {jax.process_index()} ready")
+        sched.run_follower()
+        return
+
+    if jax.process_count() == 1:
+        # embeddings/classify Engine (its device calls are not broadcast over
+        # the step channel, so multi-host serving exposes chat only for now)
+        from .runtime.engine import Engine
+
+        sched.embed_engine = Engine(
+            sched.params, cfg, tokenizer, max_seq_len=args.context, mesh=None,
+            fuse=False, moe_ragged=False,
+        )
     server = OpenAIServer(sched, tokenizer, model_name=model_dir.name)
     print(f"Serving {model_dir.name} on http://{args.host}:{args.port}")
-    server.run(host=args.host, port=args.port)
+    try:
+        server.run(host=args.host, port=args.port)
+    finally:
+        if step_channel is not None:
+            step_channel.close()  # publishes "stop" to the followers
 
 
 def cmd_download(args) -> None:
@@ -350,6 +386,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax.distributed coordinator address (multi-host)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--step-port", type=int, default=None,
+                   help="TCP port for the multi-host step-broadcast channel "
+                        "(default: coordinator port + 1000)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("download", help="download a model from HuggingFace")

@@ -156,7 +156,34 @@ def _leaf_ndim(leaf) -> int:
 
 
 def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
-    """Build a NamedSharding tree matching the param tree."""
+    """Build a NamedSharding tree matching the param tree.
+
+    Any spec axis whose mesh extent does not divide the array dim degrades to
+    replicated on that axis (e.g. an odd vocab under tp — the reference's
+    planner likewise rounds head shards to what divides,
+    JlamaService.java:79-126); correctness is preserved, only the sharding
+    weakens.
+    """
+
+    def fit(spec: P, shape: tuple) -> P:
+        axes = list(spec) + [None] * (len(shape) - len(spec))
+        fixed = []
+        for dim, ax in zip(shape, axes):
+            ext = 1
+            for name in (ax if isinstance(ax, tuple) else (ax,) if ax else ()):
+                ext *= mesh.shape[name]
+            fixed.append(ax if ext and dim % ext == 0 else None)
+        return P(*fixed)
+
+    def named(spec: P, leaf):
+        if isinstance(leaf, QArray):
+            return QArray(
+                NamedSharding(mesh, fit(spec, leaf.data.shape)),
+                # scales share leading dims; block dim follows data last-dim
+                NamedSharding(mesh, fit(spec, leaf.scales.shape)),
+                leaf.fmt,
+            )
+        return NamedSharding(mesh, fit(spec, leaf.shape))
 
     def top_spec(key: str, leaf) -> P:
         nd = _leaf_ndim(leaf)
@@ -168,26 +195,12 @@ def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
     for k, v in params.items():
         if k == "layers":
             continue
-        spec = top_spec(k, v)
-        if isinstance(v, QArray):
-            out[k] = QArray(
-                NamedSharding(mesh, spec),
-                NamedSharding(mesh, P(*spec)),  # scales shard like data
-                v.fmt,
-            )
-        else:
-            out[k] = NamedSharding(mesh, spec)
+        out[k] = named(top_spec(k, v), v)
 
     lay: dict = {}
     for k, v in params["layers"].items():
         nd = _leaf_ndim(v) - 1  # drop stacked layer axis
-        spec = _spec_for_layer_key(k, nd)
-        if isinstance(v, QArray):
-            # scales have the same leading dims; last (block) dim follows the
-            # data's last-dim sharding
-            lay[k] = QArray(NamedSharding(mesh, spec), NamedSharding(mesh, spec), v.fmt)
-        else:
-            lay[k] = NamedSharding(mesh, spec)
+        lay[k] = named(_spec_for_layer_key(k, nd), v)
     out["layers"] = lay
     return out
 
@@ -195,9 +208,29 @@ def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
     """device_put the param tree with TP/PP shardings."""
     shardings = param_shardings(params, cfg, mesh)
+
     # QArray is a registered pytree node, so the shardings tree (QArray leaves
     # holding NamedShardings) pairs leaf-wise with the param tree.
-    return jax.tree.map(jax.device_put, params, shardings)
+    def put(a, s):
+        if jax.process_count() > 1 and not getattr(
+            a, "is_fully_addressable", True
+        ):
+            # already a global array (shard-local load path): leave in place
+            # when the sharding matches; resharding global arrays is a
+            # collective all processes perform identically
+            if a.sharding == s:
+                return a
+            return jax.device_put(a, s)
+        if jax.process_count() > 1:
+            # host-local full copy (every process holds identical values,
+            # e.g. same-seed test init): slice out this process's shards
+            host = np.asarray(a)
+            return jax.make_array_from_callback(
+                host.shape, s, lambda idx: host[idx]
+            )
+        return jax.device_put(a, s)
+
+    return jax.tree.map(put, params, shardings)
 
 
 def kv_cache_sharding(mesh: Mesh) -> NamedSharding:

@@ -120,7 +120,18 @@ class BatchScheduler:
         decode_lag: int | None = None,
         layer_mode: str = "scan",
         weight_format: str | None = None,
+        step_channel=None,
     ):
+        # multi-host serving: host 0 owns the scheduler and broadcasts each
+        # step's program over `step_channel`; other processes replay the
+        # identical device calls in run_follower() (the TPU-native form of
+        # Coordinator.java:147-226 driving workers over gRPC — see
+        # runtime/coordination.py)
+        self._chan = step_channel
+        self._multiproc = jax.process_count() > 1
+        self._is_leader = jax.process_index() == 0
+        if self._multiproc and mesh is None:
+            raise ValueError("multi-process serving requires a mesh")
         if fuse:
             from ..models.base import fuse_params
 
@@ -151,6 +162,7 @@ class BatchScheduler:
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, cfg, mesh)
+        self.mesh = mesh
         self.layer_mode = layer_mode
         if layer_mode == "unrolled":
             # per-layer weight arrays: decode reads each weight straight from
@@ -180,7 +192,7 @@ class BatchScheduler:
 
             s = NamedSharding(mesh, P(None, "tp", None, None, None))
             self.kv.state = jax.tree.map(
-                lambda a: jax.device_put(a, s), self.kv.state
+                lambda a: self._global_put(a, s), self.kv.state
             )
         if layer_mode == "unrolled":
             st = self.kv.state
@@ -205,7 +217,7 @@ class BatchScheduler:
         self._rng = np.random.default_rng(seed)
         # per-slot generated-token counts for presence/frequency penalties;
         # lives on device, scatter-updated inside the decode step
-        self.counts = jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
+        self.counts = self._dev(np.zeros((n_slots, cfg.vocab_size), np.int32))
         self._lock = threading.Lock()
         self._running = False
         self._thread: threading.Thread | None = None
@@ -281,10 +293,142 @@ class BatchScheduler:
             )
             if use_penalties:
                 counts = counts.at[jnp.arange(counts.shape[0]), toks].add(1)
+            if mesh is not None:
+                # pin the sampled tokens fully-replicated so every process
+                # (and the host fetch) reads the same complete array
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                toks = jax.lax.with_sharding_constraint(
+                    toks, NamedSharding(mesh, P())
+                )
             return toks, _unwrap(cache), counts
 
         self._prefill = _prefill
         self._decode = _decode
+
+        @partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+        def _zero_row(counts, slot):
+            return counts.at[slot].set(0)
+
+        self._zero_row = _zero_row
+
+    # ------------------------------------------------------------------
+    # multi-process plumbing: under SPMD every device call on the globally
+    # sharded params/KV must be issued by ALL processes with identical
+    # inputs. The leader publishes each step's numpy inputs + static args
+    # over the step channel; these helpers build the matching global arrays
+    # on every process.
+
+    def _global_put(self, a, sharding):
+        if not self._multiproc:
+            return jax.device_put(a, sharding)
+        host = np.asarray(a)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+
+    def _dev(self, x):
+        """Per-step host input -> device array (replicated when multihost)."""
+        x = np.asarray(x)
+        if not self._multiproc:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(self.mesh, P())
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    @staticmethod
+    def _fetch(a) -> np.ndarray:
+        """Device -> host, tolerating non-fully-addressable (replicated)
+        outputs: every process's shard 0 holds the complete value."""
+        try:
+            return np.asarray(a)
+        except Exception:  # noqa: BLE001 — multi-process global array
+            return np.asarray(a.addressable_shards[0].data)
+
+    def _call_prefill(self, toks, pos, pt, win: int) -> None:
+        if self._chan is not None and self._is_leader:
+            self._chan.publish(
+                {"op": "prefill", "toks": toks, "pos": pos, "pt": pt,
+                 "win": int(win)}
+            )
+        self.kv.state = self._prefill(
+            self.params, self.kv.state, self._dev(toks), self._dev(pos),
+            self._dev(pt), win,
+        )
+
+    def _counts_reset(self, slot: int) -> None:
+        if self._chan is not None and self._is_leader:
+            self._chan.publish({"op": "counts_reset", "slot": int(slot)})
+        self.counts = self._zero_row(self.counts, int(slot))
+
+    def _run_decode_window(
+        self, tokens, positions, pts, seeds, steps, temps, top_ps, top_ks,
+        pres, freq, all_p1: bool, all_k0: bool, use_pen: bool, win: int,
+        depth: int,
+    ) -> list:
+        """Issue `depth` chained decode steps; identical on all processes."""
+        tokens_d = self._dev(tokens)
+        positions_d = self._dev(positions)
+        steps_d = self._dev(steps)
+        seeds_d = self._dev(seeds)
+        temps_d = self._dev(temps)
+        top_ps_d = self._dev(top_ps)
+        top_ks_d = self._dev(top_ks)
+        pres_d = self._dev(pres)
+        freq_d = self._dev(freq)
+        pts_d = self._dev(pts)
+        import os as _os
+
+        toks_windows = []
+        for k in range(depth):
+            toks, self.kv.state, self.counts = self._decode(
+                self.params, self.kv.state, tokens_d, positions_d, pts_d,
+                seeds_d, steps_d, temps_d, top_ps_d, top_ks_d, self.counts,
+                all_p1, all_k0, use_pen, pres_d, freq_d, win,
+            )
+            if not _os.environ.get("JLAMA_NO_ASYNC_COPY"):
+                try:
+                    toks.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — no async D2H here
+                    pass
+            toks_windows.append(toks)
+            if k + 1 < depth:
+                tokens_d = toks[:, None]
+                positions_d = positions_d + 1
+                steps_d = steps_d + 1
+        return toks_windows
+
+    def run_follower(self) -> None:
+        """Follower loop for processes > 0 in multi-host serving: replay the
+        leader's device calls so the SPMD programs line up (the TPU-native
+        form of the reference worker's GenerateObserver loop,
+        net/Worker.java:318-350 — but only step *descriptors* cross the
+        wire; activations and all-reduces stay on ICI inside the programs).
+        Returns when the leader publishes "stop"."""
+        if self._chan is None or self._is_leader:
+            raise RuntimeError("run_follower needs a step channel on a "
+                               "process with process_index > 0")
+        while True:
+            msg = self._chan.next()
+            op = msg["op"]
+            if op == "stop":
+                return
+            if op == "prefill":
+                self._call_prefill(msg["toks"], msg["pos"], msg["pt"],
+                                   msg["win"])
+            elif op == "decode":
+                self._run_decode_window(
+                    msg["tokens"], msg["positions"], msg["pts"],
+                    msg["seeds"], msg["steps"], msg["temps"],
+                    msg["top_ps"], msg["top_ks"], msg["pres"], msg["freq"],
+                    msg["all_p1"], msg["all_k0"], msg["use_pen"],
+                    msg["win"], msg["depth"],
+                )
+            elif op == "counts_reset":
+                self._counts_reset(msg["slot"])
+            else:  # pragma: no cover — future ops
+                raise ValueError(f"unknown step op {op!r}")
 
     # ------------------------------------------------------------------
 
@@ -323,6 +467,10 @@ class BatchScheduler:
     def _evict_for_pages(self) -> bool:
         """Free HBM pages by suspending the least-recently-used idle session
         to host RAM. Returns True if something was evicted."""
+        if self._multiproc:
+            # suspend's device gathers are not broadcast over the step
+            # channel yet; a full pool simply stalls admissions instead
+            return False
         for sid in self._idle_sessions_lru():
             if self.suspend_session(sid):
                 return True
@@ -385,7 +533,7 @@ class BatchScheduler:
             req.state = RequestState.PREFILLING
             self.slots[i] = req
             if req.presence_penalty or req.frequency_penalty:
-                self.counts = self.counts.at[i].set(0)
+                self._counts_reset(i)
 
     def _advance_prefill(self) -> None:
         """Run at most ONE prefill chunk (for the earliest-admitted request
@@ -413,15 +561,12 @@ class BatchScheduler:
                 pos = np.arange(
                     req.position, req.position + bucket, dtype=np.int32
                 )[None, :]
-                pt = jnp.asarray(self.kv.page_table([key]))
+                pt = self.kv.page_table([key])
                 win = min(
                     _bucket(req.position + bucket),
                     self.kv.max_pages_per_seq * ps,
                 )
-                self.kv.state = self._prefill(
-                    self.params, self.kv.state, jnp.asarray(toks),
-                    jnp.asarray(pos), pt, win,
-                )
+                self._call_prefill(toks, pos, pt, win)
                 req._pf_done += chunk
                 req.position += chunk
             if req._pf_done >= len(ids) - 1:
@@ -466,7 +611,7 @@ class BatchScheduler:
     # ------------------------------------------------------------------
 
     def suspend_session(self, session_id: str, to_dir: str | None = None) -> bool:
-        if session_id not in self.session_state:
+        if self._multiproc or session_id not in self.session_state:
             return False
         pages = self.kv.alloc.pages_for(session_id)
         if not pages:
@@ -634,44 +779,28 @@ class BatchScheduler:
                     depth = 1
                     break
 
-        pts = jnp.asarray(self.kv.page_table(seq_ids))
+        pts = self.kv.page_table(seq_ids)
         win = min(
             _bucket(int(positions.max()) + depth),
             self.kv.max_pages_per_seq * ps,
         )
-        tokens_d = jnp.asarray(tokens)
-        positions_d = jnp.asarray(positions)
-        steps_d = jnp.asarray(steps)
-        seeds_d = jnp.asarray(seeds)
-        temps_d = jnp.asarray(temps)
-        top_ps_d = jnp.asarray(top_ps)
-        top_ks_d = jnp.asarray(top_ks)
-        pres_d = jnp.asarray(pres)
-        freq_d = jnp.asarray(freq)
         all_p1 = bool(np.all(top_ps >= 1.0))
         all_k0 = bool(np.all(top_ks <= 0))
-        toks_windows = []
-        for k in range(depth):
-            toks, self.kv.state, self.counts = self._decode(
-                self.params, self.kv.state, tokens_d, positions_d, pts,
-                seeds_d, steps_d, temps_d, top_ps_d, top_ks_d, self.counts,
-                all_p1, all_k0, use_pen, pres_d, freq_d, win,
+        if self._chan is not None and self._is_leader:
+            self._chan.publish(
+                {"op": "decode", "tokens": tokens, "positions": positions,
+                 "pts": pts, "seeds": seeds, "steps": steps, "temps": temps,
+                 "top_ps": top_ps, "top_ks": top_ks, "pres": pres,
+                 "freq": freq, "all_p1": all_p1, "all_k0": all_k0,
+                 "use_pen": use_pen, "win": int(win), "depth": int(depth)}
             )
-            import os as _os
-
-            if not _os.environ.get("JLAMA_NO_ASYNC_COPY"):
-                try:
-                    toks.copy_to_host_async()
-                except Exception:  # noqa: BLE001 — no async D2H here
-                    pass
-            toks_windows.append(toks)
-            if k + 1 < depth:
-                tokens_d = toks[:, None]
-                positions_d = positions_d + 1
-                steps_d = steps_d + 1
+        toks_windows = self._run_decode_window(
+            tokens, positions, pts, seeds, steps, temps, top_ps, top_ks,
+            pres, freq, all_p1, all_k0, use_pen, win, depth,
+        )
 
         for toks in toks_windows:
-            toks_host = np.asarray(toks)
+            toks_host = self._fetch(toks)
             for r in running:
                 if r.state != RequestState.RUNNING:
                     continue  # finished earlier in this window; discard

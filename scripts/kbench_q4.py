@@ -640,6 +640,21 @@ VARIANTS = {
         lambda x, p, s: q4k_matmul_2d(x, p, s, block_n=2048),
         2e-2,
     ),
+    "v2p512": (
+        _id_prep,
+        lambda x, p, s: q4k_matmul_2d(x, p, s, block_n=512),
+        2e-2,
+    ),
+    "v2p256": (
+        _id_prep,
+        lambda x, p, s: q4k_matmul_2d(x, p, s, block_n=256),
+        2e-2,
+    ),
+    "v2p128": (
+        _id_prep,
+        lambda x, p, s: q4k_matmul_2d(x, p, s, block_n=128),
+        2e-2,
+    ),
     "v3b": (_id_prep, v3b, 2e-2),
     "v4": (_id_prep, v4, 2e-2),
     "v7": (_id_prep, v7, 2e-2),
@@ -659,6 +674,12 @@ VARIANTS = {
 def main():
     key = jax.random.PRNGKey(0)
     shapes = [(8192, 2048), (2048, 8192), (2048, 2048), (128256, 2048)]
+    if os.environ.get("JLAMA_KBENCH_SHAPES"):
+        # e.g. "14336x4096,4096x14336" (8B gate/up + down-proj shapes)
+        shapes = [
+            tuple(int(v) for v in s.split("x"))
+            for s in os.environ["JLAMA_KBENCH_SHAPES"].split(",")
+        ]
     names = sys.argv[1:] or list(VARIANTS)
     unknown = [n for n in names if n not in VARIANTS]
     if unknown:

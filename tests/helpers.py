@@ -55,7 +55,8 @@ CHAT_TEMPLATE = (
 )
 
 
-def make_tiny_chat_model(tmp: Path, seed: int = 0):
+def make_tiny_chat_model(tmp: Path, seed: int = 0,
+                         config_overrides: dict | None = None):
     """Tiny llama + trained BPE tokenizer + chat template: full serving stack."""
     from tokenizers import Tokenizer as HFTok
     from tokenizers.models import BPE
@@ -85,6 +86,7 @@ def make_tiny_chat_model(tmp: Path, seed: int = 0):
             "vocab_size": vocab_size,
             "bos_token_id": 0,
             "eos_token_id": 1,
+            **(config_overrides or {}),
         },
         seed=seed,
     )
