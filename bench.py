@@ -124,15 +124,6 @@ def main():
     from functools import partial
 
     @partial(jax.jit, donate_argnums=(1,))
-    def decode_step(params, cache, token, position, key):
-        hidden, cache = forward_hidden(
-            params, cfg, token, position, cache, dtype=jnp.bfloat16
-        )
-        logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
-        tok = sample_token(logits, key, 0.0)
-        return tok[:, None], cache
-
-    @partial(jax.jit, donate_argnums=(1,))
     def prefill_step(params, cache, tokens, positions):
         hidden, cache = forward_hidden(
             params, cfg, tokens, positions, cache, dtype=jnp.bfloat16
@@ -159,19 +150,36 @@ def main():
         ttfts.append((time.perf_counter() - t0) * 1000)
     ttft_p50 = sorted(ttfts)[len(ttfts) // 2]
 
-    # ---- decode loop: per-step async dispatches (the serving pattern) with
-    # one final hard sync, so the remote tunnel's ~40 ms round-trip latency
-    # is pipelined away rather than multiplied in ----
-    t, cache = decode_step(params, cache, t, jnp.asarray([[PROMPT_TOKENS]], jnp.int32), key)
-    np.asarray(t)
+    # ---- decode loop: ONE dispatch for all DECODE_TOKENS steps — the
+    # on-device lax.while_loop (runtime/device_loop.py) that the Engine's
+    # generate path uses, so per-step host dispatch is off the critical
+    # path entirely (it dominated small-model decode: 1B was 0.32 SOL) ----
+    from jlama_tpu.runtime.device_loop import make_decode_loop, pad_stop_ids
 
-    start = time.perf_counter()
-    for i in range(1, DECODE_TOKENS + 1):
-        t, cache = decode_step(
-            params, cache, t, jnp.asarray([[PROMPT_TOKENS + i]], jnp.int32), key
+    loop = make_decode_loop(cfg, jnp.bfloat16)
+    stop_arr = pad_stop_ids([])  # no stop ids: run all steps
+    win = PROMPT_TOKENS + 4 * DECODE_TOKENS  # static window covers all runs
+
+    def run_window(cache, key, pos0):
+        out, nval, key, cache = loop(
+            params, cache, t, jnp.asarray([[pos0]], jnp.int32), key,
+            jnp.float32(0.0), jnp.int32(0), jnp.float32(1.0), stop_arr,
+            DECODE_TOKENS, min(win, max_len), True, True,
         )
-    np.asarray(t)
-    dt = time.perf_counter() - start
+        return out, cache, key
+
+    out, cache, key = run_window(cache, key, PROMPT_TOKENS)  # compile+warm
+    np.asarray(out)
+    best = None
+    pos = PROMPT_TOKENS + DECODE_TOKENS
+    for _ in range(2):
+        start = time.perf_counter()
+        out, cache, key = run_window(cache, key, pos)
+        np.asarray(out)
+        dt = time.perf_counter() - start
+        pos += DECODE_TOKENS
+        best = dt if best is None else min(best, dt)
+    dt = best
 
     toks_per_s = DECODE_TOKENS / dt
     sol = HBM_BW / active_bytes_per_token(cfg, QUANT)

@@ -123,10 +123,11 @@ def q4k_matmul_2d(
     else:
         m_p = m
     if block_n is None:
-        # VMEM-safe block height by contraction size (measured on v5e:
-        # k<=4096 prefers 1024; k=14336 OOMs beyond 256 yet still streams
-        # ~495 GB/s there — the kernel is VPU-bound, not DMA-bound)
-        block_n = 1024 if k <= 4096 else (512 if k <= 8192 else 256)
+        # VMEM-safe block height by contraction size (measured on v5e, r4
+        # block_n sweep: bn=512 beats 1024 at k=4096 on few-tile shapes —
+        # 439 vs 417 GB/s at n=4096 — and ties elsewhere; k=14336 OOMs
+        # beyond 256 yet still streams ~480 GB/s — VPU-bound, not DMA-bound)
+        block_n = 512 if k <= 8192 else 256
     bn = min(block_n if m <= 32 else 256, n)
     while n % bn:
         bn //= 2

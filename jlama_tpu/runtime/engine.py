@@ -181,6 +181,12 @@ class Engine:
         self._decode = _decode
         self._logits_at = _logits_at
         self._hidden_nocache = _hidden_nocache
+        # N tokens per dispatch: the host loop above pays a dispatch+sync
+        # round-trip per token, which dominates small-model decode (see
+        # runtime/device_loop.py). Same PRNG stream -> identical tokens.
+        from .device_loop import make_decode_loop
+
+        self._decode_loop = make_decode_loop(cfg, compute_dtype)
 
     # ------------------------------------------------------------------
     # sessions (cf. KvBufferCache.getKvBuffer / session resume)
@@ -288,32 +294,53 @@ class Engine:
         cur_pos = start_pos + n_prompt - 1
         out_ids: list[int] = []
         finish = FinishReason.MAX_TOKENS
-        for i in range(max_new_tokens):
-            key, sub = jax.random.split(key)
-            tok, sess.cache = self._decode(
+        # N tokens per device dispatch (lax.while_loop with on-device stop
+        # checks — runtime/device_loop.py). Streaming callbacks fire per
+        # chunk, so a smaller chunk keeps chat latency interactive.
+        import os as _os
+
+        from .device_loop import pad_stop_ids
+
+        chunk_max = int(_os.environ.get("JLAMA_DEVICE_CHUNK", "32"))
+        if on_token is not None:
+            chunk_max = min(chunk_max, 8)
+        stop_arr = pad_stop_ids(stop)
+        while len(out_ids) < max_new_tokens:
+            chunk = min(chunk_max, max_new_tokens - len(out_ids),
+                        self.max_seq_len - 1 - cur_pos)
+            if chunk <= 0:
+                break
+            win = min(_bucket(cur_pos + chunk + 1), self.max_seq_len)
+            out, nval, key, sess.cache = self._decode_loop(
                 self.params,
                 sess.cache,
                 jnp.asarray([[cur]], dtype=jnp.int32),
                 jnp.asarray([[cur_pos]], dtype=jnp.int32),
-                sub,
+                key,
                 jnp.float32(temperature),
                 jnp.int32(top_k),
                 jnp.float32(top_p),
+                stop_arr,
+                chunk,
+                win,
                 top_k <= 0,
                 top_p >= 1.0,
-                min(_bucket(cur_pos + 1), self.max_seq_len),
             )
-            nxt = int(tok[0])
-            cur_pos += 1
-            cur = nxt
-            if nxt in stop:
+            n = int(nval[0])
+            toks = [int(t) for t in np.asarray(out[0, :n])]
+            out_ids.extend(toks)
+            cur_pos += n
+            if toks:
+                cur = toks[-1]
+            if toks and toks[-1] in stop:
                 finish = FinishReason.STOP_TOKEN
-                out_ids.append(nxt)
                 break
-            out_ids.append(nxt)
             if on_token is not None:
-                ms_per_tok = (time.perf_counter() - t1) * 1000 / (i + 1)
-                on_token(nxt, ms_per_tok)
+                ms_per_tok = (time.perf_counter() - t1) * 1000 / max(
+                    len(out_ids), 1
+                )
+                for t in toks:
+                    on_token(t, ms_per_tok)
         gen_time = (time.perf_counter() - t1) * 1000
 
         sess.position = cur_pos

@@ -177,3 +177,36 @@ def test_fuse_skips_partial_qkv_bias():
     d["wv.bias"] = jnp.ones((2,))
     out = _fuse_layer_dict(dict(d))
     assert "wqkv" in out and "wqkv.bias" in out
+
+
+def test_device_loop_chunk_invariance(engine_and_hf, monkeypatch):
+    """The on-device decode loop (runtime/device_loop.py) must produce the
+    same tokens regardless of chunk size — including the sampled-path PRNG
+    stream (one split per step, like the per-step host loop)."""
+    eng, _ = engine_and_hf
+    prompt = [1, 5, 9, 42, 7]
+
+    def run(chunk, **kw):
+        monkeypatch.setenv("JLAMA_DEVICE_CHUNK", str(chunk))
+        return eng.generate_tokens(prompt, max_new_tokens=11, **kw).token_ids
+
+    greedy = [run(c, temperature=0.0) for c in (1, 3, 32)]
+    assert greedy[0] == greedy[1] == greedy[2]
+    sampled = [run(c, temperature=0.9, top_p=0.9, seed=7) for c in (1, 4, 32)]
+    assert sampled[0] == sampled[1] == sampled[2]
+
+
+def test_device_loop_early_stop(engine_and_hf, monkeypatch):
+    """A stop id ends generation inside the device loop (inclusive) and the
+    emitted count reflects the early exit."""
+    eng, _ = engine_and_hf
+    prompt = [1, 5, 9, 42, 7]
+    monkeypatch.setenv("JLAMA_DEVICE_CHUNK", "32")
+    full = eng.generate_tokens(prompt, max_new_tokens=12, temperature=0.0)
+    assert len(full.token_ids) >= 3
+    stop_tok = full.token_ids[2]
+    resp = eng.generate_tokens(
+        prompt, max_new_tokens=12, temperature=0.0, stop_ids={stop_tok}
+    )
+    assert resp.token_ids == full.token_ids[:3]
+    assert resp.finish_reason.name == "STOP_TOKEN"
