@@ -127,7 +127,13 @@ def q4k_matmul_2d(
         # block_n sweep: bn=512 beats 1024 at k=4096 on few-tile shapes —
         # 439 vs 417 GB/s at n=4096 — and ties elsewhere; k=14336 OOMs
         # beyond 256 yet still streams ~480 GB/s — VPU-bound, not DMA-bound)
-        block_n = 512 if k <= 8192 else 256
+        import os
+
+        env_bn = os.environ.get("JLAMA_Q4_BLOCK_N")
+        if env_bn and k <= 8192:  # k>8192 needs <=256 to fit VMEM
+            block_n = int(env_bn)
+        else:
+            block_n = 512 if k <= 8192 else 256
     bn = min(block_n if m <= 32 else 256, n)
     while n % bn:
         bn //= 2

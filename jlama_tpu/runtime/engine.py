@@ -50,6 +50,8 @@ class Response:
     generate_time_ms: float
     token_ids: list[int] = field(default_factory=list)
     tool_calls: list = field(default_factory=list)
+    error: str | None = None  # set when finish_reason == ERROR
+    # (cf. Coordinator.java:222-225 surfacing generate errors)
 
 
 @dataclass

@@ -58,6 +58,8 @@ class GenRequest:
     frequency_penalty: float = 0.0
     on_token: Callable[[int], None] | None = None
     session_id: str | None = None  # KV affinity (X-Jlama-Session semantics)
+    tools: list | None = None  # Tool schemas: finished output is scanned for
+    # calls and finish becomes TOOL_CALL (AbstractModel.java:653-707)
     id: str = field(default_factory=lambda: str(uuid.uuid4()))
 
     # filled by the scheduler
@@ -74,6 +76,8 @@ class GenRequest:
     _pf_ids: list[int] = field(default_factory=list)
     _pf_done: int = 0
     text_override: str | None = None  # set when a stop string truncates output
+    tool_calls: list = field(default_factory=list)
+    error: str | None = None
     done_event: threading.Event = field(default_factory=threading.Event)
 
     def to_response(self, tokenizer=None) -> Response:
@@ -96,6 +100,8 @@ class GenRequest:
             prompt_time_ms=(self.t_first - self.t_start) * 1000,
             generate_time_ms=(self.t_done - self.t_first) * 1000,
             token_ids=list(self.out_ids),
+            tool_calls=list(self.tool_calls),
+            error=self.error,
         )
 
 
@@ -536,48 +542,100 @@ class BatchScheduler:
                 self._counts_reset(i)
 
     def _advance_prefill(self) -> None:
-        """Run at most ONE prefill chunk (for the earliest-admitted request
-        still prefilling), so decode inter-token latency stays bounded."""
+        """Run at most ONE prefill call per iteration — but batched across
+        ALL requests still prefilling (beyond the reference's one-request
+        batchForward, AbstractModel.java:295-312): concurrent arrivals share
+        the chunk's weight reads instead of serializing their prompts.
+        Decode inter-token latency stays bounded by the single call."""
+        todo = []
         for req in self.slots:
             if req is None or req.state != RequestState.PREFILLING:
                 continue
-            ids = req._pf_ids
-            remaining = len(ids) - 1 - req._pf_done  # last token goes to decode
+            remaining = len(req._pf_ids) - 1 - req._pf_done
             if remaining > 0:
-                chunk = min(self.prefill_chunk, remaining)
-                bucket = chunk if chunk == self.prefill_chunk else _bucket(chunk)
-                ps = self.kv.page_size
-                key = self._kv_key(req)
-                room = self.kv.max_pages_per_seq * ps - req.position
-                if bucket > room:
-                    bucket = chunk
-                if not self._ensure_capacity_evicting(
-                    key, req.position + bucket, ps
-                ):
-                    return  # no pages free; retry next step
-                ctx = ids[req._pf_done : req._pf_done + chunk]
-                toks = np.zeros((1, bucket), dtype=np.int32)
-                toks[0, : len(ctx)] = ctx
-                pos = np.arange(
-                    req.position, req.position + bucket, dtype=np.int32
-                )[None, :]
-                pt = self.kv.page_table([key])
-                win = min(
-                    _bucket(req.position + bucket),
-                    self.kv.max_pages_per_seq * ps,
-                )
-                self._call_prefill(toks, pos, pt, win)
-                req._pf_done += chunk
-                req.position += chunk
-            if req._pf_done >= len(ids) - 1:
-                req.cur_token = ids[-1]
-                req.state = RequestState.RUNNING
-                req.t_first = time.perf_counter()
-                req._pf_ids = []
-            return  # at most one chunk per scheduler iteration
+                todo.append((req, remaining))
+            else:
+                self._promote_prefilled(req)
+        if not todo:
+            return
+        ps = self.kv.page_size
+        table_len = self.kv.max_pages_per_seq * ps
+        chunk = min(self.prefill_chunk, max(rem for _, rem in todo))
+        bucket = chunk if chunk == self.prefill_chunk else _bucket(chunk)
+        # rows must fit pos+bucket inside their page table: pads write to
+        # contiguous future positions, and past-table positions would clamp
+        # onto the row's LAST real page (corrupting it). Rows near their
+        # table end run alone with an exact (pad-free) bucket instead.
+        fit = [rt for rt in todo if rt[0].position + bucket <= table_len]
+        if not fit:
+            req, rem = todo[0]
+            chunk = min(self.prefill_chunk, rem)
+            bucket = chunk  # exact length: no pads past the table
+            fit = [(req, rem)]
+        batch = []
+        for req, rem in fit:
+            take = min(rem, bucket)
+            if self._ensure_capacity_evicting(
+                self._kv_key(req), req.position + take, ps
+            ):
+                batch.append((req, take))
+            # rows without page capacity sit this call out; retried next step
+        if not batch:
+            return
+        # row count rides power-of-two buckets so (rows, chunk, window)
+        # compile variants stay bounded; pad rows run the scratch page
+        rows = 1
+        while rows < len(batch):
+            rows *= 2
+        toks = np.zeros((rows, bucket), dtype=np.int32)
+        pos = np.zeros((rows, bucket), dtype=np.int32)
+        seq_ids = ["__empty__"] * rows
+        win = 0
+        for i, (req, take) in enumerate(batch):
+            ids = req._pf_ids
+            toks[i, :take] = ids[req._pf_done : req._pf_done + take]
+            pos[i] = np.arange(req.position, req.position + bucket)
+            seq_ids[i] = self._kv_key(req)
+            win = max(win, _bucket(req.position + bucket))
+        pt = self.kv.page_table(seq_ids)
+        win = min(win, self.kv.max_pages_per_seq * ps)
+        self._call_prefill(toks, pos, pt, win)
+        for req, take in batch:
+            req._pf_done += take
+            req.position += take
+            if req._pf_done >= len(req._pf_ids) - 1:
+                self._promote_prefilled(req)
+
+    def _promote_prefilled(self, req: GenRequest) -> None:
+        req.cur_token = req._pf_ids[-1] if req._pf_ids else req.cur_token
+        req.state = RequestState.RUNNING
+        req.t_first = time.perf_counter()
+        req._pf_ids = []
 
     def _finish(self, req: GenRequest, reason: FinishReason) -> None:
         req.finish = reason
+        if (
+            req.tools
+            and self.tokenizer is not None
+            and reason in (FinishReason.STOP_TOKEN, FinishReason.MAX_TOKENS)
+        ):
+            # tool-call post-processing inside the scheduler so the
+            # Response's finish_reason is authoritative (the reference sets
+            # TOOL_CALL in generate itself, AbstractModel.java:653-707)
+            from ..prompt import extract_tool_calls
+
+            stops = req.stop_ids or set(self.cfg.eos_token_ids)
+            text = (
+                req.text_override
+                if req.text_override is not None
+                else self.tokenizer.decode(
+                    [t for t in req.out_ids if t not in stops]
+                )
+            )
+            calls = extract_tool_calls(text, req.tools)
+            if calls:
+                req.tool_calls = calls
+                req.finish = FinishReason.TOOL_CALL
         req.state = RequestState.DONE
         req.t_done = time.perf_counter()
         from ..utils.metrics import GLOBAL_METRICS
@@ -823,6 +881,24 @@ class BatchScheduler:
 
     # ------------------------------------------------------------------
 
+    def _fail_active(self, message: str) -> None:
+        """Finish every in-flight request with ERROR + message (the serving
+        loop must survive a failed step; cf. Coordinator.java:222-225)."""
+        for r in list(self.slots):
+            if r is None:
+                continue
+            r.error = message
+            self._finish(r, FinishReason.ERROR)
+        while True:
+            try:
+                r = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            r.error = message
+            r.finish = FinishReason.ERROR
+            r.state = RequestState.DONE
+            r.done_event.set()
+
     def start(self) -> None:
         """Run the scheduling loop on a background thread (serving mode)."""
         if self._running:
@@ -831,7 +907,14 @@ class BatchScheduler:
 
         def loop():
             while self._running:
-                n = self.step()
+                try:
+                    n = self.step()
+                except Exception as e:  # noqa: BLE001 — surface, don't die
+                    import traceback
+
+                    traceback.print_exc()
+                    self._fail_active(f"{type(e).__name__}: {e}")
+                    continue
                 if n == 0 and self.pending.empty():
                     time.sleep(0.001)
 
