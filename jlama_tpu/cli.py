@@ -229,20 +229,44 @@ def cmd_serve(args) -> None:
             step_channel = StepChannel.connect(
                 coordinator_host(args.coordinator), sport
             )
-    sched = BatchScheduler(
-        params,
-        cfg,
-        tokenizer,
-        n_slots=args.batch_slots,
-        n_pages=args.kv_pages,
-        page_size=args.page_size,
-        max_seq_len=args.context,
-        kv_dtype=kv_dtype,
-        mesh=mesh,
-        layer_mode=args.layer_mode,
-        weight_format="q4s" if args.pallas == "w8a8" else None,
-        step_channel=step_channel,
-    )
+    wfmt = "q4s" if args.pallas == "w8a8" else None
+    if (
+        mesh is not None
+        and mesh.shape["pp"] > 1
+        and jax.process_count() == 1
+        and not args.no_pp_pipeline
+    ):
+        # decode through the pp ring (ppermute microbatching) instead of
+        # serializing over the layer-sharded weights — the reference's
+        # worker ring IS its serving path (Worker.java:226-248)
+        from .runtime.pipelined import PipelinedScheduler
+
+        slots = args.batch_slots
+        if slots % mesh.shape["pp"]:
+            slots = mesh.shape["pp"] * max(1, slots // mesh.shape["pp"])
+            print(f"batch-slots rounded to {slots} (divisible by pp)")
+        print(f"pp={mesh.shape['pp']} pipeline decode enabled "
+              f"({slots // mesh.shape['pp']} rows/microbatch)")
+        sched = PipelinedScheduler(
+            params, cfg, tokenizer, mesh=mesh, n_slots=slots,
+            max_seq_len=args.context, kv_dtype=kv_dtype,
+            weight_format=wfmt,
+        )
+    else:
+        sched = BatchScheduler(
+            params,
+            cfg,
+            tokenizer,
+            n_slots=args.batch_slots,
+            n_pages=args.kv_pages,
+            page_size=args.page_size,
+            max_seq_len=args.context,
+            kv_dtype=kv_dtype,
+            mesh=mesh,
+            layer_mode=args.layer_mode,
+            weight_format=wfmt,
+            step_channel=step_channel,
+        )
     # HBM hygiene: exactly ONE copy of the layer weights stays live — the
     # scheduler's fused tree. The embeddings/classification Engine shares it
     # (fuse=False: already fused), and the pre-fuse tree is dropped here
@@ -251,9 +275,18 @@ def cmd_serve(args) -> None:
 
     if jax.process_count() > 1 and jax.process_index() > 0:
         # follower: replay host 0's broadcast steps until it shuts down
+        # (includes any warmup steps the leader broadcasts)
         print(f"follower {jax.process_index()} ready")
         sched.run_follower()
         return
+
+    if args.prewarm:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        print(f"pre-warming jit variants to {args.prewarm} tokens ...")
+        sched.warmup(max_context=args.prewarm)
+        print(f"pre-warm done in {_time.perf_counter() - t0:.1f}s")
 
     if jax.process_count() == 1:
         # embeddings/classify Engine (its device calls are not broadcast over
@@ -389,6 +422,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--step-port", type=int, default=None,
                    help="TCP port for the multi-host step-broadcast channel "
                         "(default: coordinator port + 1000)")
+    p.add_argument("--no-pp-pipeline", action="store_true",
+                   help="with pp>1: storage-shard layers only instead of "
+                        "decoding through the microbatched ppermute ring")
+    p.add_argument("--prewarm", type=int, default=0, metavar="TOKENS",
+                   help="pre-compile every jit variant serving will hit up "
+                        "to this many context tokens before accepting "
+                        "requests (one-time with the persistent cache)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("download", help="download a model from HuggingFace")

@@ -219,26 +219,39 @@ def self_attention_block(
             flags.USE_PAGED_ATTENTION_KERNEL
             and T == 1
             and cfg.causal
-            and cfg.sliding_window is None
+            # per-layer STATIC windows (gemma2 alternating layers in the
+            # unrolled path — each layer's window is a Python int there,
+            # models/base.py) dispatch to the in-tree kernel; only traced
+            # window scalars (scan path) fall back to the XLA mask
+            and (sliding_window is None or isinstance(sliding_window, int))
             # Mosaic block-shape constraints: tiny test models (head_size 16,
             # 4 heads) fail lowering — fall back to the XLA gather path
             and cfg.head_size % 64 == 0
             and cfg.n_heads % 8 == 0
         )
-        if kernel_ok and isinstance(k_pool, QArray):
+        if kernel_ok and (
+            isinstance(k_pool, QArray) or sliding_window is not None
+        ):
             # in-tree paged decode kernel: streams only the live pages and
             # dequantizes the q8 pages in VMEM after the DMA, so quantized
             # KV composes with the kernel (CausalSelfAttention.java:212-229)
             from ..ops.pallas_attention import paged_decode
 
+            kp = (k_pool.data, k_pool.scales) if isinstance(
+                k_pool, QArray
+            ) else k_pool
+            vp = (v_pool.data, v_pool.scales) if isinstance(
+                v_pool, QArray
+            ) else v_pool
             out = paged_decode(
                 q[:, 0].reshape(B, cfg.n_heads, hd),
-                (k_pool.data, k_pool.scales),
-                (v_pool.data, v_pool.scales),
+                kp,
+                vp,
                 page_tables,
                 positions[:, 0] + 1,
                 scale,
                 softcap=cfg.attn_logit_softcap,
+                window=sliding_window,
             )
             out = out[:, None].astype(x.dtype)
         elif kernel_ok:

@@ -41,9 +41,20 @@ def linear(x: jnp.ndarray, w, bias: jnp.ndarray | None = None, out_dtype=None):
 
             y = pallas_q4.q4_matmul(x, w, out_dtype=out_dtype)
         elif w.fmt == "q4s":
+            import os
+
             from . import pallas_w8a8
 
-            y = pallas_w8a8.q4s_matmul(x, w, out_dtype=out_dtype)
+            if os.environ.get("JLAMA_Q4S_KERNEL") == "1":
+                # the int8-MXU Pallas kernel (TPU: Mosaic-blocked, raises
+                # with the analysis; interpret mode: exact)
+                y = pallas_w8a8.q4s_matmul(x, w, out_dtype=out_dtype)
+            else:
+                # XLA dequant path: correct everywhere, shards under GSPMD
+                y = _dot_last(
+                    x.astype(jnp.float32), pallas_w8a8.q4s_dequantize(w),
+                    out_dtype,
+                )
         else:
             y = _quantized_matmul_xla(x, w, out_dtype)
     else:

@@ -174,7 +174,7 @@ def flash_prefill(
 
 def _paged_decode_kernel(pt_ref, lengths_ref, q_ref, k_ref, v_ref, ks_ref,
                          vs_ref, o_ref, m_ref, l_ref, acc_ref,
-                         *, scale, softcap, ps, quantized, blk):
+                         *, scale, softcap, ps, quantized, blk, window):
     b = pl.program_id(0)
     p_idx = pl.program_id(2)
     n_p = pl.num_programs(2)
@@ -187,6 +187,11 @@ def _paged_decode_kernel(pt_ref, lengths_ref, q_ref, k_ref, v_ref, ks_ref,
 
     length = lengths_ref[b]
     page_live = p_idx * ps < length
+    if window is not None:
+        # sliding window (gemma2 alternating layers,
+        # CausalSelfAttention.java:334-342): only keys with
+        # k_pos >= length - window attend; pages entirely below it skip
+        page_live = page_live & ((p_idx + 1) * ps > length - window)
 
     @pl.when(page_live)
     def _():
@@ -219,6 +224,8 @@ def _paged_decode_kernel(pt_ref, lengths_ref, q_ref, k_ref, v_ref, ks_ref,
             jnp.int32, s.shape, 1
         )
         s = jnp.where(k_pos < length, s, NEG_INF)
+        if window is not None:
+            s = jnp.where(k_pos >= length - window, s, NEG_INF)
 
         m_prev = m_ref[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -241,7 +248,7 @@ def _paged_decode_kernel(pt_ref, lengths_ref, q_ref, k_ref, v_ref, ks_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "interpret")
+    jax.jit, static_argnames=("scale", "softcap", "window", "interpret")
 )
 def paged_decode(
     q: jnp.ndarray,  # [B, H, hd] (T == 1)
@@ -251,6 +258,7 @@ def paged_decode(
     lengths: jnp.ndarray,  # [B] live context per row
     scale: float,
     softcap: float | None = None,
+    window: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, H, hd]. Streams only the page-table pages of each row;
@@ -299,7 +307,7 @@ def paged_decode(
 
     kern = functools.partial(
         _paged_decode_kernel, scale=scale, softcap=softcap, ps=ps,
-        quantized=quantized, blk=blk,
+        quantized=quantized, blk=blk, window=window,
     )
     out = pl.pallas_call(
         kern,

@@ -128,6 +128,29 @@ def to_q4s(w: QArray) -> QArray:
     )
 
 
+def q4s_dequantize(q: QArray, dtype=jnp.float32) -> jnp.ndarray:
+    """jnp dequant of a q4s QArray -> [n, k] (XLA fallback path: lets q4s
+    weights run — and SHARD under GSPMD meshes — wherever the Pallas kernel
+    can't, e.g. CPU tests and the current Mosaic-blocked TPU)."""
+    packed = q.data
+    sigma = q.scales[0].astype(jnp.float32)  # [ngrp, n, 8]
+    swk = q.scales[1].astype(jnp.float32)[:, 0, :]  # [ngrp, n]
+    ngrp, n, _ = packed.shape
+    inv = jnp.asarray(np.argsort(_group_perm()))
+    p32 = packed.astype(jnp.int32)
+    lo = ((p32 & 0x0F) - 8)[:, :, inv]
+    hi = ((p32 >> 4) - 8)[:, :, inv]
+    vals = jnp.concatenate([lo, hi], axis=2).astype(jnp.float32)
+    vb = vals.reshape(ngrp, n, BPG, BLOCK_SIZE)
+    out = vb * sigma[:, :, :, None] * swk[:, :, None, None]
+    return (
+        out.reshape(ngrp, n, GROUP)
+        .transpose(1, 0, 2)
+        .reshape(n, ngrp * GROUP)
+        .astype(dtype)
+    )
+
+
 def q4s_dequantize_np(q: QArray) -> np.ndarray:
     """Exact f32 dequant of a q4s QArray (test/ppl reference). [n, k]."""
     packed = np.asarray(q.data)

@@ -176,6 +176,26 @@ def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
         return P(*fixed)
 
     def named(spec: P, leaf):
+        if isinstance(leaf, QArray) and leaf.fmt == "q4s":
+            # group-major w8a8 layout (ops/pallas_w8a8.py): data
+            # [(L,) ngrp, N, 128], sigma [(L,) ngrp, N, 8], swk
+            # [(L,) ngrp, 1, N]. The incoming spec follows the canonical
+            # [(L,) out, in] layout: translate out->N axis, in->ngrp axis.
+            axes = list(spec)
+            lead = axes[:-2] if len(axes) > 2 else []
+            out_ax, in_ax = axes[-2] if len(axes) >= 2 else None, axes[-1]
+            dspec = P(*lead, in_ax, out_ax, None)
+            sigma, swk = leaf.scales
+            return QArray(
+                NamedSharding(mesh, fit(dspec, leaf.data.shape)),
+                (
+                    NamedSharding(mesh, fit(dspec, sigma.shape)),
+                    NamedSharding(
+                        mesh, fit(P(*lead, in_ax, None, out_ax), swk.shape)
+                    ),
+                ),
+                leaf.fmt,
+            )
         if isinstance(leaf, QArray):
             return QArray(
                 NamedSharding(mesh, fit(spec, leaf.data.shape)),

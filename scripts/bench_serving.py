@@ -78,9 +78,10 @@ def main():
         )
         return req, token_times
 
-    # warmup: compile every (shape, attn-window-bucket, pipeline-depth)
-    # variant the measured phase will hit — same concurrency, same prompt
-    # size, enough decode to cross the window bucket the run decodes in
+    # warmup: pre-compile every (window, rows, chunk) variant up to the
+    # context the run reaches, then one synthetic round for the remaining
+    # code paths (admission, stop checks, async window drain)
+    sched.warmup(max_context=PROMPT + DECODE + page_size)
     warm = []
     for _ in range(N_REQS):
         w, _ = make_req()

