@@ -150,23 +150,50 @@ def main():
         ttfts.append((time.perf_counter() - t0) * 1000)
     ttft_p50 = sorted(ttfts)[len(ttfts) // 2]
 
-    # ---- decode loop: ONE dispatch for all DECODE_TOKENS steps — the
-    # on-device lax.while_loop (runtime/device_loop.py) that the Engine's
-    # generate path uses, so per-step host dispatch is off the critical
-    # path entirely (it dominated small-model decode: 1B was 0.32 SOL) ----
-    from jlama_tpu.runtime.device_loop import make_decode_loop, pad_stop_ids
+    # ---- decode: two framework modes, measured per model ----
+    # "loop": ONE dispatch for all DECODE_TOKENS steps (on-device
+    #   lax.while_loop, runtime/device_loop.py — kills per-step dispatch,
+    #   what Engine.generate uses);
+    # "chain": per-step async dispatches with one final sync (the
+    #   scheduler's pattern; measured faster at 8B, where XLA's
+    #   copy-insertion around the while-carry KV costs ~1 ms/step).
+    MODE = os.environ.get("JLAMA_BENCH_MODE") or (
+        "chain" if MODEL == "8b" else "loop"
+    )
+    win = min(PROMPT_TOKENS + 4 * DECODE_TOKENS, max_len)
 
-    loop = make_decode_loop(cfg, jnp.bfloat16)
-    stop_arr = pad_stop_ids([])  # no stop ids: run all steps
-    win = PROMPT_TOKENS + 4 * DECODE_TOKENS  # static window covers all runs
+    if MODE == "loop":
+        from jlama_tpu.runtime.device_loop import make_decode_loop, pad_stop_ids
 
-    def run_window(cache, key, pos0):
-        out, nval, key, cache = loop(
-            params, cache, t, jnp.asarray([[pos0]], jnp.int32), key,
-            jnp.float32(0.0), jnp.int32(0), jnp.float32(1.0), stop_arr,
-            DECODE_TOKENS, min(win, max_len), True, True,
-        )
-        return out, cache, key
+        loop = make_decode_loop(cfg, jnp.bfloat16)
+        stop_arr = pad_stop_ids([])  # no stop ids: run all steps
+
+        def run_window(cache, key, pos0):
+            out, nval, key, cache = loop(
+                params, cache, t, jnp.asarray([[pos0]], jnp.int32), key,
+                jnp.float32(0.0), jnp.int32(0), jnp.float32(1.0), stop_arr,
+                DECODE_TOKENS, win, True, True,
+            )
+            return out, cache, key
+    else:
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(4,))
+        def decode_step(params, cache, token, position, attn_window):
+            hidden, cache = forward_hidden(
+                params, cfg, token, position, cache, dtype=jnp.bfloat16,
+                attn_window=attn_window,
+            )
+            logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
+            tok = sample_token(logits, jax.random.PRNGKey(0), 0.0)
+            return tok[:, None], cache
+
+        def run_window(cache, key, pos0):
+            tok = t
+            for i in range(DECODE_TOKENS):
+                tok, cache = decode_step(
+                    params, cache, tok,
+                    jnp.asarray([[pos0 + i]], jnp.int32), win,
+                )
+            return tok, cache, key
 
     out, cache, key = run_window(cache, key, PROMPT_TOKENS)  # compile+warm
     np.asarray(out)
