@@ -219,19 +219,26 @@ def main():
         "prompt_tokens": PROMPT_TOKENS,
         "sol_tokens_per_s": round(sol, 1),
     }
-    # the committed serving-path artifact (scripts/bench_serving.py measures
+    # the committed serving-path artifacts (scripts/bench_serving*.py measure
     # the scheduler under concurrency; single-stream above is the raw loop)
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_SERVING_r03.json")
-        ) as f:
-            serving = json.load(f)
-        out["serving_4way_tokens_per_s"] = serving["value"]
-        out["serving_ttft_ms_p50"] = serving["ttft_ms_p50"]
-        out["serving_artifact"] = "BENCH_SERVING_r03.json"
+        with open(os.path.join(here, "BENCH_SERVING_CURVE_r04.json")) as f:
+            curve = json.load(f)
+        out["serving_curve_levels"] = curve["levels"]
+        out["serving_curve_tokens_per_s"] = curve["decode_tokens_per_s"]
+        out["serving_knee_tokens_per_s"] = curve["knee_tokens_per_s"]
+        out["serving_ttft_ms_p50"] = curve["ttft_ms_p50"]
+        out["serving_artifact"] = "BENCH_SERVING_CURVE_r04.json"
     except Exception:  # noqa: BLE001
-        pass
+        try:
+            with open(os.path.join(here, "BENCH_SERVING_r03.json")) as f:
+                serving = json.load(f)
+            out["serving_4way_tokens_per_s"] = serving["value"]
+            out["serving_ttft_ms_p50"] = serving["ttft_ms_p50"]
+            out["serving_artifact"] = "BENCH_SERVING_r03.json"
+        except Exception:  # noqa: BLE001
+            pass
     print(json.dumps(out))
 
 
