@@ -273,6 +273,17 @@ def cmd_serve(args) -> None:
     # (8B-JQ4 would otherwise hold ~3 copies of wqkv/w13 and not fit a v5e).
     del params
 
+    # embeddings/classify Engine shares the scheduler's fused tree; in
+    # multi-host mode its device calls ride the step channel too (leader
+    # publishes, followers replay in run_follower)
+    from .runtime.engine import Engine
+
+    sched.embed_engine = Engine(
+        sched.params, cfg, tokenizer, max_seq_len=args.context, mesh=None,
+        fuse=False, moe_ragged=False, step_channel=step_channel,
+        input_mesh=mesh,
+    )
+
     if jax.process_count() > 1 and jax.process_index() > 0:
         # follower: replay host 0's broadcast steps until it shuts down
         # (includes any warmup steps the leader broadcasts)
@@ -288,15 +299,6 @@ def cmd_serve(args) -> None:
         sched.warmup(max_context=args.prewarm)
         print(f"pre-warm done in {_time.perf_counter() - t0:.1f}s")
 
-    if jax.process_count() == 1:
-        # embeddings/classify Engine (its device calls are not broadcast over
-        # the step channel, so multi-host serving exposes chat only for now)
-        from .runtime.engine import Engine
-
-        sched.embed_engine = Engine(
-            sched.params, cfg, tokenizer, max_seq_len=args.context, mesh=None,
-            fuse=False, moe_ragged=False,
-        )
     server = OpenAIServer(sched, tokenizer, model_name=model_dir.name)
     print(f"Serving {model_dir.name} on http://{args.host}:{args.port}")
     try:

@@ -98,6 +98,8 @@ class Engine:
         max_device_sessions: int = 8,
         fuse: bool = True,
         moe_ragged: bool = True,
+        step_channel=None,
+        input_mesh=None,
     ):
         """mesh: optional jax.sharding.Mesh — weights are TP/PP-sharded over
         it (parallel.mesh rules) and the KV cache's head axis rides the tp
@@ -110,6 +112,14 @@ class Engine:
         much longer compilation)."""
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # multi-host: the serving leader broadcasts embed/classify device
+        # steps over the scheduler's step channel; followers replay them
+        # (runtime/coordination.py). input_mesh only shapes the replicated
+        # input arrays — it does NOT re-shard params (pass mesh for that).
+        self.step_channel = step_channel
+        self._bcast_mesh = input_mesh
+        self._multiproc = jax.process_count() > 1
+        self._is_leader = jax.process_index() == 0
         self.max_seq_len = min(max_seq_len or cfg.context_length, cfg.context_length)
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
@@ -443,6 +453,38 @@ class Engine:
     # (cf. AbstractModel.embed/classify, AbstractModel.java:332-419)
     # ------------------------------------------------------------------
 
+    def _dev_in(self, x):
+        """Host input -> device array (replicated when multi-host)."""
+        if x is None:
+            return None
+        x = np.asarray(x)
+        if not self._multiproc:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(self._bcast_mesh, P())
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    @staticmethod
+    def _fetch(a):
+        try:
+            return np.asarray(a)
+        except Exception:  # noqa: BLE001 — multi-process global array
+            return np.asarray(a.addressable_shards[0].data)
+
+    def run_embed_hidden(self, toks, pos, tt):
+        """Issue the embed forward (leader broadcasts; follower replays)."""
+        if self.step_channel is not None and self._is_leader:
+            self.step_channel.publish(
+                {"op": "embed_hidden", "toks": np.asarray(toks),
+                 "pos": np.asarray(pos),
+                 "tt": None if tt is None else np.asarray(tt)}
+            )
+        return self._hidden_nocache(
+            self.params, self._dev_in(toks), self._dev_in(pos),
+            self._dev_in(tt),
+        )
+
     def embed_tokens(
         self,
         token_ids: list[int],
@@ -451,15 +493,15 @@ class Engine:
     ) -> np.ndarray:
         import numpy as _np
 
-        toks = jnp.asarray([token_ids], dtype=jnp.int32)
-        pos = jnp.arange(len(token_ids), dtype=jnp.int32)[None, :]
+        toks = _np.asarray([token_ids], dtype=_np.int32)
+        pos = _np.arange(len(token_ids), dtype=_np.int32)[None, :]
         tt = (
-            jnp.asarray([token_types], dtype=jnp.int32)
+            _np.asarray([token_types], dtype=_np.int32)
             if token_types is not None
             else None
         )
-        hidden = _np.asarray(
-            self._hidden_nocache(self.params, toks, pos, tt), dtype=_np.float32
+        hidden = self._fetch(self.run_embed_hidden(toks, pos, tt)).astype(
+            _np.float32
         )[0]
         if pooling in ("MODEL", "CLS"):
             # MODEL: last token "represents the sum of the prompt"
@@ -467,11 +509,10 @@ class Engine:
             # through the pooler — what HF BertForSequenceClassification does
             v = hidden[0] if pooling == "CLS" else hidden[-1]
             if "pooler.weight" in self.params:  # BERT pooler: dense + tanh
-                w = _np.asarray(self.params["pooler.weight"], dtype=_np.float32)
-                b = _np.asarray(
-                    self.params.get("pooler.bias", _np.zeros(w.shape[0])),
-                    dtype=_np.float32,
-                )
+                w = self._fetch(self.params["pooler.weight"]).astype(_np.float32)
+                b = self._fetch(
+                    self.params.get("pooler.bias", _np.zeros(w.shape[0]))
+                ).astype(_np.float32)
                 v = _np.tanh(w @ v + b)
             return v
         if pooling == "MAX":
@@ -499,11 +540,10 @@ class Engine:
             # reference's last-token MODEL pooling
             pooling = "CLS" if self.cfg.model_type == "bert" else "MODEL"
         v = self.embed_tokens(self.tokenizer.encode(text), pooling=pooling)
-        w = _np.asarray(self.params["classifier.weight"], dtype=_np.float32)
-        b = _np.asarray(
-            self.params.get("classifier.bias", _np.zeros(w.shape[0])),
-            dtype=_np.float32,
-        )
+        w = self._fetch(self.params["classifier.weight"]).astype(_np.float32)
+        b = self._fetch(
+            self.params.get("classifier.bias", _np.zeros(w.shape[0]))
+        ).astype(_np.float32)
         logits = w @ v + b
         p = _np.exp(logits - logits.max())
         p /= p.sum()

@@ -434,6 +434,14 @@ class BatchScheduler:
                 )
             elif op == "counts_reset":
                 self._counts_reset(msg["slot"])
+            elif op == "embed_hidden":
+                eng = getattr(self, "embed_engine", None)
+                if eng is None:
+                    raise RuntimeError(
+                        "leader broadcast an embed step but this follower "
+                        "has no embed_engine attached"
+                    )
+                eng.run_embed_hidden(msg["toks"], msg["pos"], msg["tt"])
             else:  # pragma: no cover — future ops
                 raise ValueError(f"unknown step op {op!r}")
 

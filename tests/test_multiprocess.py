@@ -214,6 +214,12 @@ sched = BatchScheduler(
     max_seq_len=96, kv_dtype=jnp.float32, compute_dtype=jnp.float32,
     mesh=mesh, step_channel=chan,
 )
+from jlama_tpu.runtime.engine import Engine
+sched.embed_engine = Engine(
+    sched.params, cfg, tokenizer, max_seq_len=96, kv_dtype=jnp.float32,
+    compute_dtype=jnp.float32, mesh=None, fuse=False, moe_ragged=False,
+    step_channel=chan, input_mesh=mesh,
+)
 if pid == 1:
     sched.run_follower()
     print("proc 1 OK")
@@ -252,6 +258,14 @@ req = urllib.request.Request(
 )
 resp = json.load(urllib.request.urlopen(req, timeout=120))
 print("HTTPTEXT", json.dumps(resp["choices"][0]["message"]["content"]))
+# embeddings through the same tp-spanning mesh (broadcast embed step)
+ereq = urllib.request.Request(
+    base + "/v1/embeddings",
+    data=json.dumps({"input": "Hello there"}).encode(),
+    headers={"Content-Type": "application/json"},
+)
+eresp = json.load(urllib.request.urlopen(ereq, timeout=120))
+print("HTTPEMB", json.dumps(eresp["data"][0]["embedding"][:4]))
 sched.stop()
 chan.close()
 print("proc 0 OK")
@@ -303,6 +317,20 @@ def test_two_process_http_serving(tmp_path):
     ids = tokenizer.encode(b.build().prompt)
     ref = sched.generate(ids, max_new_tokens=6, temperature=0.0)
     assert got_text == ref.response_text, (got_text, ref.response_text)
+
+    # embeddings parity (leader broadcast + follower replay)
+    from jlama_tpu.runtime.engine import Engine
+
+    emb_line = next(
+        ln for ln in outs[0].splitlines() if ln.startswith("HTTPEMB ")
+    )
+    got_emb = _json.loads(emb_line[len("HTTPEMB "):])
+    eng = Engine(params, cfg, tokenizer, max_seq_len=96,
+                 kv_dtype=jnp.float32, compute_dtype=jnp.float32)
+    ref_emb = eng.embed("Hello there")[:4]
+    import numpy as _np
+
+    assert _np.allclose(got_emb, ref_emb, atol=2e-3), (got_emb, ref_emb)
 
 
 def test_two_process_tp_forward(tmp_path):
