@@ -220,6 +220,13 @@ class BatchScheduler:
         self._suspended: dict[str, tuple] = {}
         self.max_sessions = max_sessions
         self.prefill_chunk = prefill_chunk
+        # double-buffered decode windows: the undrained window's device
+        # token arrays + its running-request snapshot; page releases are
+        # deferred while a chained window may still write through old page
+        # tables (see step())
+        self._undrained: tuple | None = None
+        self._release_q: list[str] = []
+        self._chain_tail: dict | None = None
         self.key = jax.random.PRNGKey(seed)
         self._rng = np.random.default_rng(seed)
         # per-slot generated-token counts for presence/frequency penalties;
@@ -375,24 +382,41 @@ class BatchScheduler:
         depth: int,
     ) -> list:
         """Issue `depth` chained decode steps; identical on all processes."""
-        tokens_d = self._dev(tokens)
-        positions_d = self._dev(positions)
-        steps_d = self._dev(steps)
-        seeds_d = self._dev(seeds)
-        temps_d = self._dev(temps)
-        top_ps_d = self._dev(top_ps)
-        top_ks_d = self._dev(top_ks)
-        pres_d = self._dev(pres)
-        freq_d = self._dev(freq)
-        pts_d = self._dev(pts)
+        ct = {
+            "tokens": self._dev(tokens),
+            "positions": self._dev(positions),
+            "steps": self._dev(steps),
+            "seeds": self._dev(seeds),
+            "temps": self._dev(temps),
+            "top_ps": self._dev(top_ps),
+            "top_ks": self._dev(top_ks),
+            "pres": self._dev(pres),
+            "freq": self._dev(freq),
+            "pts": self._dev(pts),
+            "all_p1": all_p1, "all_k0": all_k0, "use_pen": use_pen,
+        }
+        self._chain_tail = ct
+        return self._chain_steps(win, depth)
+
+    def _chain_steps(self, win: int, depth: int, pts=None) -> list:
+        """Advance the device-side decode chain `depth` steps from
+        self._chain_tail (sampled tokens feed back device-to-device; the
+        tail is updated so a later window can continue without any host
+        round trip). `pts` replaces the tail's page tables (a chained
+        window may span pages allocated after the tail was built)."""
         import os as _os
 
+        ct = self._chain_tail
+        if pts is not None:
+            ct["pts"] = self._dev(pts)
+        tokens_d, positions_d, steps_d = ct["tokens"], ct["positions"], ct["steps"]
         toks_windows = []
-        for k in range(depth):
+        for _ in range(depth):
             toks, self.kv.state, self.counts = self._decode(
-                self.params, self.kv.state, tokens_d, positions_d, pts_d,
-                seeds_d, steps_d, temps_d, top_ps_d, top_ks_d, self.counts,
-                all_p1, all_k0, use_pen, pres_d, freq_d, win,
+                self.params, self.kv.state, tokens_d, positions_d, ct["pts"],
+                ct["seeds"], steps_d, ct["temps"], ct["top_ps"],
+                ct["top_ks"], self.counts, ct["all_p1"], ct["all_k0"],
+                ct["use_pen"], ct["pres"], ct["freq"], win,
             )
             if not _os.environ.get("JLAMA_NO_ASYNC_COPY"):
                 try:
@@ -400,10 +424,12 @@ class BatchScheduler:
                 except Exception:  # noqa: BLE001 — no async D2H here
                     pass
             toks_windows.append(toks)
-            if k + 1 < depth:
-                tokens_d = toks[:, None]
-                positions_d = positions_d + 1
-                steps_d = steps_d + 1
+            tokens_d = toks[:, None]
+            positions_d = positions_d + 1
+            steps_d = steps_d + 1
+        ct["tokens"], ct["positions"], ct["steps"] = (
+            tokens_d, positions_d, steps_d,
+        )
         return toks_windows
 
     def run_follower(self) -> None:
@@ -432,6 +458,8 @@ class BatchScheduler:
                     msg["all_p1"], msg["all_k0"], msg["use_pen"],
                     msg["win"], msg["depth"],
                 )
+            elif op == "decode_chain":
+                self._chain_steps(msg["win"], msg["depth"], msg.get("pts"))
             elif op == "counts_reset":
                 self._counts_reset(msg["slot"])
             elif op == "embed_hidden":
@@ -727,10 +755,20 @@ class BatchScheduler:
                 if not idle or not self.suspend_session(idle[0]):
                     break
         else:
-            self.kv.alloc.release(self._kv_key(req))
+            key = self._kv_key(req)
+            if self._undrained is not None:
+                # an in-flight chained window may still write through the
+                # old page tables; release only after it drains
+                self._release_q.append(key)
+            else:
+                self.kv.alloc.release(key)
         self.slots[req.slot] = None
         req.slot = -1
         req.done_event.set()
+
+    def _flush_releases(self) -> None:
+        while self._release_q:
+            self.kv.alloc.release(self._release_q.pop())
 
     def drop_session(self, session_id: str) -> None:
         self.session_state.pop(session_id, None)
@@ -842,8 +880,69 @@ class BatchScheduler:
         r.text_override = full[:cut]
         return True
 
+    def _try_chain_dispatch(self, und) -> tuple | None:
+        """Dispatch the NEXT decode window device-chained off the undrained
+        one (no host input needed), or None if membership/pages/headroom
+        forbid it. Called BEFORE draining `und`, so the drain's blocking
+        device fetch (~30-40 ms over a remote relay) overlaps this window's
+        compute instead of serializing with it."""
+        running, _, depth = und
+        if not self.pending.empty():
+            return None
+        if any(r is not None and r.state != RequestState.RUNNING
+               for r in self.slots):
+            return None
+        if not running:
+            return None
+        ps = self.kv.page_size
+        # host-side positions lag by the in-flight window's `depth` tokens
+        head = min(
+            min(r.max_new_tokens - len(r.out_ids) for r in running),
+            min(self.max_seq_len - 1 - r.position for r in running),
+        )
+        if head < 2 * depth:
+            return None
+        for r in running:
+            if not self._ensure_capacity_evicting(
+                self._kv_key(r), r.position + 2 * depth, ps
+            ):
+                return None
+        win = min(
+            _bucket(max(r.position for r in running) + 2 * depth),
+            self.kv.max_pages_per_seq * ps,
+        )
+        # rebuild page tables: the capacity just ensured may have allocated
+        # pages that did not exist when the tail's tables were built
+        seq_ids = ["__empty__"] * self.n_slots
+        for r in running:
+            seq_ids[r.slot] = self._kv_key(r)
+        pts = self.kv.page_table(seq_ids)
+        if self._chan is not None and self._is_leader:
+            self._chan.publish(
+                {"op": "decode_chain", "depth": int(depth), "win": int(win),
+                 "pts": pts}
+            )
+        return (running, self._chain_steps(win, depth, pts), depth)
+
+    def _drain_window(self, und) -> None:
+        running, toks_windows, _ = und
+        self._apply_sampled(running, [self._fetch(t) for t in toks_windows])
+
     def step(self) -> int:
-        """One scheduler iteration: admit, one prefill chunk, one decode."""
+        """One scheduler iteration: admit, one prefill chunk, one decode.
+
+        Decode windows are double-buffered: when the batch is steady, the
+        next window is dispatched (device-chained) BEFORE the previous
+        window's tokens are fetched, hiding the per-window host drain."""
+        und = self._undrained
+        if und is not None:
+            self._undrained = None
+            nxt = self._try_chain_dispatch(und)
+            self._undrained = nxt  # set before drain: page releases defer
+            self._drain_window(und)
+            if self._undrained is not None:
+                return len([r for r in self.slots if r is not None])
+        self._flush_releases()
         self._admit()
         self._advance_prefill()
         running = [r for r in self.slots
@@ -933,7 +1032,14 @@ class BatchScheduler:
             pres, freq, all_p1, all_k0, use_pen, win, depth,
         )
 
-        self._apply_sampled(running, [self._fetch(t) for t in toks_windows])
+        if depth > 1:
+            # steady state (the depth>1 guard vetted membership/penalties):
+            # defer the drain — next step dispatches a chained window first
+            self._undrained = (running, toks_windows, depth)
+        else:
+            self._apply_sampled(
+                running, [self._fetch(t) for t in toks_windows]
+            )
         return len([r for r in self.slots if r is not None])
 
     def _apply_sampled(self, running, windows) -> None:
@@ -945,6 +1051,11 @@ class BatchScheduler:
                 if r.state != RequestState.RUNNING:
                     continue  # finished earlier in this window; discard
                 nxt = int(toks_host[r.slot])
+                if not r.out_ids:
+                    # honest TTFT: the first token is "served" when the host
+                    # actually has it (prefill completion is just an async
+                    # dispatch boundary and measures ~nothing)
+                    r.t_first = time.perf_counter()
                 r.position += 1
                 r.cur_token = nxt
                 r.out_ids.append(nxt)
