@@ -249,6 +249,16 @@ class BatchScheduler:
 
             decode_lag = int(os.environ.get("JLAMA_DECODE_LAG", "4"))
         self.decode_lag = max(1, decode_lag)
+        # bound token-delivery burstiness for STREAMING requests: windows
+        # cap at stream_lag when any running request has an on_token
+        # callback (tokens are delivered at window drains, so inter-token
+        # p95 ~ window depth x step time for SSE clients)
+        import os as _os2
+
+        self.stream_lag = max(
+            1, int(_os2.environ.get("JLAMA_STREAM_LAG",
+                                    str(min(4, self.decode_lag))))
+        )
 
         # attn_window (static, bucketed) bounds how many page-table columns
         # the attention gather touches; without it every prefill chunk reads
@@ -1004,7 +1014,10 @@ class BatchScheduler:
                 min(r.max_new_tokens - len(r.out_ids) for r in running),
                 min(self.max_seq_len - 1 - r.position for r in running),
             )
-            depth = max(1, min(self.decode_lag, head))
+            lag = self.decode_lag
+            if any(r.on_token is not None for r in running):
+                lag = min(lag, self.stream_lag)
+            depth = max(1, min(lag, head))
             for r in running:
                 if not self._ensure_capacity_evicting(
                     self._kv_key(r), r.position + depth, ps

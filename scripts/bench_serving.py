@@ -32,6 +32,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench as headline
 
+# the bench's on_token timestamp callbacks would otherwise classify its
+# requests as streaming clients and cap the async window at JLAMA_STREAM_LAG;
+# measure the full-throughput configuration unless explicitly overridden
+os.environ.setdefault(
+    "JLAMA_STREAM_LAG", os.environ.get("JLAMA_DECODE_LAG", "4")
+)
+
 N_REQS = int(os.environ.get("JLAMA_BENCH_REQS", 4))
 PROMPT = int(os.environ.get("JLAMA_BENCH_PROMPT", 512))
 DECODE = int(os.environ.get("JLAMA_BENCH_TOKENS", 128))
