@@ -1,0 +1,99 @@
+"""1B decode-step decomposition on the real chip.
+
+347 tok/s (0.33 SOL) has ~1.4 ms/step of non-weight-stream time; this
+ablates the step to locate it. Variants (each one compile of the 128-token
+device loop on random 1B weights):
+
+  full        the bench.py decode loop
+  no_lmhead   sample from a fixed hidden slice (lm_head matmul removed —
+              isolates the 138 MB vocab matmul + 128k argmax)
+
+Usage: python scripts/diag_1b.py [variants...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jlama_tpu.utils.xla_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench as headline
+from jlama_tpu.models.init import llama_1b_config
+from jlama_tpu.models.base import (
+    KVCache, forward_hidden, fuse_params, lm_logits, unstack_cache,
+    unstack_params,
+)
+
+DECODE = 128
+PROMPT = 512
+
+
+def build(variant: str):
+    cfg = llama_1b_config()
+    params = fuse_params(headline.init_params_device(cfg, quant="q4"))
+    params = unstack_params(params, cfg)
+    cache = unstack_cache(KVCache.init(cfg, 1, 2048, jnp.bfloat16))
+    win = 1024
+
+    def step_fn(params, cache, token, position):
+        hidden, cache = forward_hidden(
+            params, cfg, token, position, cache, dtype=jnp.bfloat16,
+            attn_window=win,
+        )
+        if variant == "no_lmhead":
+            tok = jnp.argmax(hidden[:, -1, :128], axis=-1).astype(jnp.int32)
+        else:
+            logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return tok, cache
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def loop(params, cache, token, position):
+        def body(carry):
+            i, tok, cache = carry
+            nxt, cache = step_fn(params, cache, tok, position + i)
+            return (i + 1, nxt[:, None], cache)
+
+        def cond(carry):
+            return carry[0] < DECODE
+
+        _, tok, cache = jax.lax.while_loop(
+            cond, body, (0, token, cache)
+        )
+        return tok, cache
+
+    return params, cache, loop
+
+
+def main():
+    variants = sys.argv[1:] or ["full", "no_lmhead"]
+    for v in variants:
+        params, cache, loop = build(v)
+        t = jnp.asarray([[1]], jnp.int32)
+        pos = jnp.asarray([[PROMPT]], jnp.int32)
+        out, cache = loop(params, cache, t, pos)
+        np.asarray(out)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out, cache = loop(params, cache, t, pos)
+            np.asarray(out)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{v}: {best / DECODE * 1e3:.3f} ms/step "
+              f"({DECODE / best:.1f} tok/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
