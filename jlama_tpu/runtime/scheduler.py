@@ -1089,6 +1089,7 @@ class BatchScheduler:
     def _fail_active(self, message: str) -> None:
         """Finish every in-flight request with ERROR + message (the serving
         loop must survive a failed step; cf. Coordinator.java:222-225)."""
+        self._undrained = None  # drop any half-dispatched window
         for r in list(self.slots):
             if r is None:
                 continue
@@ -1103,6 +1104,7 @@ class BatchScheduler:
             r.finish = FinishReason.ERROR
             r.state = RequestState.DONE
             r.done_event.set()
+        self._flush_releases()
 
     def start(self) -> None:
         """Run the scheduling loop on a background thread (serving mode)."""
