@@ -500,7 +500,9 @@ class BatchScheduler:
         return wins
 
     def warmup(self, max_context: int | None = None,
-               prefill_rows: tuple | None = None) -> None:
+               prefill_rows: tuple | None = None,
+               decode_windows: list | None = None,
+               prefill_windows: list | None = None) -> None:
         """Pre-compile every (window, prefill-rows, chunk) jit variant that
         serving traffic up to `max_context` tokens will hit, so first
         requests never stall on the request path (VERDICT r3 weak #3: TTFT
@@ -512,6 +514,10 @@ class BatchScheduler:
         broadcast like any other step, warming every process.
         """
         wins = self._window_buckets(max_context or self.max_seq_len)
+        decode_windows = decode_windows if decode_windows is not None else wins
+        prefill_windows = (
+            prefill_windows if prefill_windows is not None else wins
+        )
         B = self.n_slots
         if prefill_rows is None:
             prefill_rows, r = [], 1
@@ -519,7 +525,7 @@ class BatchScheduler:
                 prefill_rows.append(r)
                 r *= 2
         zeros = lambda *s: np.zeros(s, np.int32)  # noqa: E731
-        for win in wins:
+        for win in decode_windows:
             if self._chan is not None and self._is_leader:
                 self._chan.publish(
                     {"op": "decode", "tokens": zeros(B, 1),
@@ -541,7 +547,7 @@ class BatchScheduler:
             )
         chunk = self.prefill_chunk
         for rows in prefill_rows:
-            for win in wins:
+            for win in prefill_windows:
                 if win < chunk:
                     continue
                 toks = zeros(rows, chunk)
