@@ -112,10 +112,11 @@ def q4k_matmul_2d(
     m, k = x.shape
     n = packed.shape[0]
     # Large M (prefill) tiles the row axis too, else the [M, K/2] activation
-    # planes + [bn, K/2] dequant intermediates blow the ~16 MB VMEM budget.
+    # planes + [bn, K/2] dequant intermediates blow the ~16 MB VMEM budget
+    # (k=14336 at bm=256/bn=256 measured 17.75M scoped > 16M limit).
     # m is the OUTER grid axis so the weight stream (the big operand in
     # decode; the reused one in prefill) is sequential per m-tile.
-    bm = min(256, m)
+    bm = min(256 if k <= 8192 else 128, m)
     pad_m = (-m) % bm
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
