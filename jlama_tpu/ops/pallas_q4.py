@@ -135,7 +135,10 @@ def q4k_matmul_2d(
             block_n = int(env_bn)
         else:
             block_n = 512 if k <= 8192 else 256
-    bn = min(block_n if m <= 32 else 256, n)
+    # batched prefill at k>8192 needs bn<=128: at bm=128/bn=256/k=14336 the
+    # in-kernel int32+bf16 dequant intermediates hit 18.86M scoped VMEM > 16M
+    # (measured: 8-request x 256-token chunks = 2048 rows OOM'd serving)
+    bn = min(block_n if m <= 32 else (256 if k <= 8192 else 128), n)
     while n % bn:
         bn //= 2
     xl, xh, xb = split_x(x.astype(jnp.bfloat16))

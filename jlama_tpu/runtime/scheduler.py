@@ -472,6 +472,16 @@ class BatchScheduler:
                 self._chain_steps(msg["win"], msg["depth"], msg.get("pts"))
             elif op == "counts_reset":
                 self._counts_reset(msg["slot"])
+            elif op == "suspend":
+                payload = self._suspend_pages(
+                    msg["sid"], msg["idxs"], msg["dir"]
+                )
+                self._suspended[msg["sid"]] = (payload, None)
+            elif op == "resume":
+                payload, _ = self._suspended.pop(msg["sid"])
+                self._restore_pages(msg["sid"], payload, msg["idxs"])
+            elif op == "sdrop":
+                self._suspended.pop(msg["sid"], None)
             elif op == "embed_hidden":
                 eng = getattr(self, "embed_engine", None)
                 if eng is None:
@@ -593,10 +603,6 @@ class BatchScheduler:
     def _evict_for_pages(self) -> bool:
         """Free HBM pages by suspending the least-recently-used idle session
         to host RAM. Returns True if something was evicted."""
-        if self._multiproc:
-            # suspend's device gathers are not broadcast over the step
-            # channel yet; a full pool simply stalls admissions instead
-            return False
         for sid in self._idle_sessions_lru():
             if self.suspend_session(sid):
                 return True
@@ -789,7 +795,10 @@ class BatchScheduler:
     def drop_session(self, session_id: str) -> None:
         self.session_state.pop(session_id, None)
         self.kv.alloc.release(session_id)
-        self._suspended.pop(session_id, None)
+        if self._suspended.pop(session_id, None) is not None:
+            if self._chan is not None and self._is_leader:
+                # free the followers' mirrored payload too
+                self._chan.publish({"op": "sdrop", "sid": session_id})
 
     # ------------------------------------------------------------------
     # session offload — the TPU equivalent of the reference's disk-backed
@@ -799,21 +808,59 @@ class BatchScheduler:
     # ------------------------------------------------------------------
 
     def suspend_session(self, session_id: str, to_dir: str | None = None) -> bool:
-        if self._multiproc or session_id not in self.session_state:
+        if session_id not in self.session_state:
             return False
         pages = self.kv.alloc.pages_for(session_id)
         if not pages:
             return False
-        idxs = jnp.asarray(np.asarray(pages, dtype=np.int32))
+        idxs_np = np.asarray(pages, dtype=np.int32)
+        if self._chan is not None and self._is_leader:
+            # multi-host: the page gather (and the pinned_host park) is a
+            # device program every process must issue — broadcast it like
+            # any other step; followers mirror the payload in run_follower()
+            self._chan.publish(
+                {"op": "suspend", "sid": session_id, "idxs": idxs_np,
+                 "dir": to_dir}
+            )
+        payload = self._suspend_pages(session_id, idxs_np, to_dir)
+        self._suspended[session_id] = (payload, self.session_state[session_id])
+        self.kv.alloc.release(session_id)
+        self.session_state.pop(session_id)
+        return True
+
+    def _suspend_pages(self, session_id: str, idxs_np, to_dir: str | None):
+        """Device half of suspend (runs on EVERY process under multi-host):
+        gather the session's pages out of the pools, then park them off-HBM —
+        host numpy on one process, the pinned_host memory kind (each process
+        keeps its own shard-local copy in host RAM) on a multi-process mesh.
+        Tree-mapped so quantized (QArray) pools offload payload + scales."""
+        idxs = jnp.asarray(idxs_np)
         k_tree, v_tree = self._pool_trees()
-        take = (
-            (lambda a: np.asarray(a[:, idxs]))
-            if isinstance(self.kv.state, list)
-            else (lambda a: np.asarray(a[:, :, idxs]))
-        )
-        # tree-mapped so quantized (QArray) pools offload payload + scales
-        k_host = jax.tree.map(take, k_tree)
-        v_host = jax.tree.map(take, v_tree)
+        unrolled = isinstance(self.kv.state, list)
+        take = (lambda a: a[:, idxs]) if unrolled else (lambda a: a[:, :, idxs])
+        k_dev = jax.tree.map(take, k_tree)
+        v_dev = jax.tree.map(take, v_tree)
+        if self._multiproc:
+            if to_dir is not None:
+                return self._suspend_shards_to_disk(
+                    session_id, to_dir, k_dev, v_dev
+                )
+            # park each process's addressable shards in its own host RAM
+            # (a global array cannot be pulled to one host; device_put to a
+            # pinned_host sharding is rejected on the CPU test backend)
+            leaves = jax.tree.leaves((k_dev, v_dev))
+            _, treedef = jax.tree.flatten((k_dev, v_dev))
+            shards = [
+                [np.asarray(s.data) for s in a.addressable_shards]
+                for a in leaves
+            ]
+            meta = [
+                (a.shape, a.sharding, [s.device for s in a.addressable_shards])
+                for a in leaves
+            ]
+            return ("mram", shards, treedef, meta)
+        k_host = jax.tree.map(np.asarray, k_dev)
+        v_host = jax.tree.map(np.asarray, v_dev)
         if to_dir is not None:
             import os
 
@@ -823,13 +870,30 @@ class BatchScheduler:
                 *jax.tree.leaves(k_host),
                 *jax.tree.leaves(v_host),
             )
-            payload = (to_dir, len(pages))
-        else:
-            payload = (k_host, v_host)
-        self._suspended[session_id] = (payload, self.session_state[session_id])
-        self.kv.alloc.release(session_id)
-        self.session_state.pop(session_id)
-        return True
+            return ("disk", to_dir)
+        return ("ram", k_host, v_host)
+
+    def _suspend_shards_to_disk(self, session_id, to_dir, k_dev, v_dev):
+        """Multi-process disk offload: each process saves only its
+        addressable shards (the global arrays cannot be pulled to one host);
+        sharding metadata stays in RAM for the reconstructing device_puts."""
+        import os
+
+        os.makedirs(to_dir, exist_ok=True)
+        leaves = jax.tree.leaves((k_dev, v_dev))
+        np.savez(
+            f"{to_dir}/{session_id}.kv.p{jax.process_index()}.npz",
+            *[
+                np.stack([np.asarray(s.data) for s in a.addressable_shards])
+                for a in leaves
+            ],
+        )
+        _, treedef = jax.tree.flatten((k_dev, v_dev))
+        meta = [
+            (a.shape, a.sharding, [s.device for s in a.addressable_shards])
+            for a in leaves
+        ]
+        return ("mdisk", to_dir, treedef, meta)
 
     def _pool_trees(self):
         st = self.kv.state
@@ -837,29 +901,68 @@ class BatchScheduler:
             return [s.k_pool for s in st], [s.v_pool for s in st]
         return st.k_pool, st.v_pool
 
+    def _payload_pages(self, session_id: str, payload) -> int:
+        """Page count stored in a suspend payload."""
+        unrolled = isinstance(self.kv.state, list)
+        page_ax = 1 if unrolled else 2
+        kind = payload[0]
+        if kind == "ram":
+            return jax.tree.leaves(payload[1])[0].shape[page_ax]
+        if kind in ("mram", "mdisk"):
+            return payload[3][0][0][page_ax]
+        with np.load(f"{payload[1]}/{session_id}.kv.npz") as z:
+            return z[z.files[0]].shape[page_ax]
+
     def resume_session(self, session_id: str) -> bool:
         if session_id not in self._suspended:
             return False
-        payload, state = self._suspended.pop(session_id)
+        payload, state = self._suspended[session_id]
+        n_pages = self._payload_pages(session_id, payload)
+        ps = self.kv.page_size
+        pages = self.kv.alloc.ensure_capacity(session_id, n_pages * ps, ps)
+        idxs_np = np.asarray(pages, dtype=np.int32)
+        if self._chan is not None and self._is_leader:
+            self._chan.publish(
+                {"op": "resume", "sid": session_id, "idxs": idxs_np}
+            )
+        self._suspended.pop(session_id)
+        self._restore_pages(session_id, payload, idxs_np)
+        self.session_state[session_id] = state
+        return True
+
+    def _restore_pages(self, session_id: str, payload, idxs_np) -> None:
+        """Device half of resume (runs on EVERY process under multi-host):
+        rebuild the parked pages as device arrays and scatter them into
+        freshly allocated pool pages."""
         k_tree, v_tree = self._pool_trees()
         k_leaves, k_def = jax.tree.flatten(k_tree)
-        if isinstance(payload[0], str):
-            to_dir, _ = payload
-            with np.load(f"{to_dir}/{session_id}.kv.npz") as z:
+        kind = payload[0]
+        if kind == "disk":
+            with np.load(f"{payload[1]}/{session_id}.kv.npz") as z:
                 arrs = [z[f] for f in z.files]
             k_host = jax.tree.unflatten(k_def, arrs[: len(k_leaves)])
             v_host = jax.tree.unflatten(k_def, arrs[len(k_leaves):])
-        else:
-            k_host, v_host = payload
+        elif kind in ("mram", "mdisk"):
+            _, stored, treedef, meta = payload
+            if kind == "mdisk":
+                path = f"{stored}/{session_id}.kv.p{jax.process_index()}.npz"
+                with np.load(path) as z:
+                    stored = [list(z[f]) for f in z.files]
+            leaves = [
+                jax.make_array_from_single_device_arrays(
+                    shape, sharding,
+                    [jax.device_put(h, d) for h, d in zip(hosts, devices)],
+                )
+                for hosts, (shape, sharding, devices) in zip(stored, meta)
+            ]
+            k_host, v_host = jax.tree.unflatten(treedef, leaves)
+        else:  # "ram"
+            k_host, v_host = payload[1], payload[2]
+        idxs = jnp.asarray(idxs_np)
         unrolled = isinstance(self.kv.state, list)
-        page_ax = 1 if unrolled else 2
-        n_pages = jax.tree.leaves(k_host)[0].shape[page_ax]
-        ps = self.kv.page_size
-        pages = self.kv.alloc.ensure_capacity(session_id, n_pages * ps, ps)
-        idxs = jnp.asarray(np.asarray(pages, dtype=np.int32))
         if unrolled:
             put = lambda pool, host: pool.at[:, idxs].set(  # noqa: E731
-                jnp.asarray(host, pool.dtype)
+                jnp.asarray(host).astype(pool.dtype)
             )
             new_k = jax.tree.map(put, k_tree, k_host)
             new_v = jax.tree.map(put, v_tree, v_host)
@@ -868,14 +971,12 @@ class BatchScheduler:
             ]
         else:
             put = lambda pool, host: pool.at[:, :, idxs].set(  # noqa: E731
-                jnp.asarray(host, pool.dtype)
+                jnp.asarray(host).astype(pool.dtype)
             )
             self.kv.state = PagedKVState(
                 jax.tree.map(put, k_tree, k_host),
                 jax.tree.map(put, v_tree, v_host),
             )
-        self.session_state[session_id] = state
-        return True
 
     def _check_stop_strings(self, r: GenRequest) -> bool:
         """True if one of the request's stop strings just completed; sets

@@ -105,6 +105,16 @@ if pid == 0:
     r2 = sched.generate([1, 7, 3], max_new_tokens=6, temperature=0.0)
     print("TOKENS1", ",".join(map(str, r1.token_ids)))
     print("TOKENS2", ",".join(map(str, r2.token_ids)))
+    # session suspend/resume across hosts: the gather/park and the
+    # restore/scatter are broadcast device steps (suspend to host RAM via
+    # pinned_host shards, resume back into fresh pages)
+    r3 = sched.generate([1, 11, 13], max_new_tokens=4, temperature=0.0,
+                        session_id="sess")
+    assert sched.suspend_session("sess"), "suspend failed"
+    r4 = sched.generate([2, 17], max_new_tokens=4, temperature=0.0,
+                        session_id="sess")
+    print("TOKENS3", ",".join(map(str, r3.token_ids)))
+    print("TOKENS4", ",".join(map(str, r4.token_ids)))
     chan.close()
 else:
     sched.run_follower()
@@ -172,6 +182,11 @@ def test_two_process_serving_scheduler(tmp_path):
     )
     ref1 = sched.generate([1, 5, 9, 42], max_new_tokens=6, temperature=0.0)
     ref2 = sched.generate([1, 7, 3], max_new_tokens=6, temperature=0.0)
+    ref3 = sched.generate([1, 11, 13], max_new_tokens=4, temperature=0.0,
+                          session_id="sess")
+    assert sched.suspend_session("sess")
+    ref4 = sched.generate([2, 17], max_new_tokens=4, temperature=0.0,
+                          session_id="sess")
     got = {
         line.split(" ")[0]: line.split(" ")[1]
         for line in outs[0].splitlines()
@@ -179,6 +194,8 @@ def test_two_process_serving_scheduler(tmp_path):
     }
     assert got["TOKENS1"] == ",".join(map(str, ref1.token_ids)), outs[0][-1500:]
     assert got["TOKENS2"] == ",".join(map(str, ref2.token_ids)), outs[0][-1500:]
+    assert got["TOKENS3"] == ",".join(map(str, ref3.token_ids)), outs[0][-1500:]
+    assert got["TOKENS4"] == ",".join(map(str, ref4.token_ids)), outs[0][-1500:]
 
 
 HTTP_WORKER = r"""
