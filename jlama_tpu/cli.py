@@ -288,7 +288,12 @@ def cmd_serve(args) -> None:
         # follower: replay host 0's broadcast steps until it shuts down
         # (includes any warmup steps the leader broadcasts)
         print(f"follower {jax.process_index()} ready")
-        sched.run_follower()
+        try:
+            sched.run_follower()
+        except ConnectionError as e:
+            # leader gone (channel closed or heartbeat timeout): exit
+            # non-zero so the orchestrator restarts the whole replica set
+            raise SystemExit(f"follower {jax.process_index()}: {e}") from e
         return
 
     if args.prewarm:

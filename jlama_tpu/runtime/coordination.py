@@ -58,14 +58,24 @@ class StepChannel:
 
     @classmethod
     def connect(cls, host: str, port: int, timeout: float = 300.0) -> "StepChannel":
-        """Follower: connect (with retry while host 0 is still loading)."""
+        """Follower: connect (with retry while host 0 is still loading).
+
+        The receive side gets a liveness timeout (JLAMA_STEP_TIMEOUT seconds,
+        default 900, 0 disables): the leader heartbeats {"op": "ping"} while
+        idle, so a silent leader for that long means it is gone — next()
+        raises instead of hanging the follower forever. The default is
+        generous because a leader-side first-compile legitimately goes quiet
+        for minutes."""
+        import os
+
+        recv_timeout = float(os.environ.get("JLAMA_STEP_TIMEOUT", "900")) or None
         deadline = time.time() + timeout
         last_err: Exception | None = None
         while time.time() < deadline:
             try:
                 s = socket.create_connection((host, port), timeout=10)
                 s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-                s.settimeout(None)
+                s.settimeout(recv_timeout)
                 return cls([s], is_server=False)
             except OSError as e:  # noqa: PERF203
                 last_err = e
@@ -78,15 +88,29 @@ class StepChannel:
         assert self._is_server, "only host 0 publishes"
         blob = pickle.dumps(msg, protocol=pickle.HIGHEST_PROTOCOL)
         frame = struct.pack(">I", len(blob)) + blob
-        for s in self._socks:
-            s.sendall(frame)
+        for i, s in enumerate(self._socks):
+            try:
+                s.sendall(frame)
+            except OSError as e:
+                # a dead follower would otherwise hang the next SPMD
+                # collective forever; fail fast with the process identified
+                raise ConnectionError(
+                    f"step follower {i + 1} lost ({e}); the cluster is "
+                    "degraded — restart all processes to recover"
+                ) from e
 
     def next(self) -> dict:
         assert not self._is_server, "host 0 does not receive"
         s = self._socks[0]
-        hdr = self._read_exact(s, 4)
-        (n,) = struct.unpack(">I", hdr)
-        return pickle.loads(self._read_exact(s, n))
+        try:
+            hdr = self._read_exact(s, 4)
+            (n,) = struct.unpack(">I", hdr)
+            return pickle.loads(self._read_exact(s, n))
+        except TimeoutError as e:
+            raise ConnectionError(
+                "no step or heartbeat from the coordinator within "
+                "JLAMA_STEP_TIMEOUT — leader presumed dead"
+            ) from e
 
     @staticmethod
     def _read_exact(s: socket.socket, n: int) -> bytes:

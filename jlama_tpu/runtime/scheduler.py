@@ -227,6 +227,9 @@ class BatchScheduler:
         self._undrained: tuple | None = None
         self._release_q: list[str] = []
         self._chain_tail: dict | None = None
+        # set to the failure reason when a peer process is lost (multi-host);
+        # new submissions fail fast and /healthz turns 503 until restart
+        self.degraded: str | None = None
         self.key = jax.random.PRNGKey(seed)
         self._rng = np.random.default_rng(seed)
         # per-slot generated-token counts for presence/frequency penalties;
@@ -457,6 +460,8 @@ class BatchScheduler:
             op = msg["op"]
             if op == "stop":
                 return
+            if op == "ping":  # leader idle heartbeat
+                continue
             if op == "prefill":
                 self._call_prefill(msg["toks"], msg["pos"], msg["pt"],
                                    msg["win"])
@@ -570,6 +575,12 @@ class BatchScheduler:
 
     def submit(self, req: GenRequest) -> GenRequest:
         req.t_start = time.perf_counter()
+        if self.degraded:
+            req.error = f"cluster degraded: {self.degraded}"
+            req.finish = FinishReason.ERROR
+            req.state = RequestState.DONE
+            req.done_event.set()
+            return req
         self.pending.put(req)
         return req
 
@@ -1220,6 +1231,7 @@ class BatchScheduler:
         self._running = True
 
         def loop():
+            last_ping = time.monotonic()
             while self._running:
                 try:
                     n = self.step()
@@ -1227,9 +1239,25 @@ class BatchScheduler:
                     import traceback
 
                     traceback.print_exc()
+                    if isinstance(e, ConnectionError) and self._chan is not None:
+                        # a follower process is gone: the next SPMD collective
+                        # would hang every surviving process, so stop serving
+                        # (healthz flips to 503 so an orchestrator restarts
+                        # the set; cf. the reference's worker ERROR surfacing)
+                        self.degraded = str(e)
                     self._fail_active(f"{type(e).__name__}: {e}")
                     continue
                 if n == 0 and self.pending.empty():
+                    if self._chan is not None and self._is_leader:
+                        # idle heartbeat so followers can distinguish "leader
+                        # is quiet" from "leader is dead" (JLAMA_STEP_TIMEOUT)
+                        now = time.monotonic()
+                        if now - last_ping > 5.0:
+                            last_ping = now
+                            try:
+                                self._chan.publish({"op": "ping"})
+                            except ConnectionError as e:
+                                self.degraded = str(e)
                     time.sleep(0.001)
 
         self._thread = threading.Thread(target=loop, daemon=True)

@@ -433,6 +433,14 @@ class OpenAIServer:
         return web.json_response(GLOBAL_METRICS.snapshot())
 
     async def health(self, request: web.Request) -> web.Response:
+        degraded = getattr(self.sched, "degraded", None)
+        if degraded:
+            # lost peer process: 503 so an orchestrator (e.g. the k8s
+            # liveness probe) restarts the replica set — jax.distributed
+            # membership is static, so recovery is restart, not re-register
+            return web.json_response(
+                {"status": "degraded", "reason": degraded}, status=503
+            )
         return web.json_response({"status": "ok"})
 
     async def ui(self, request: web.Request) -> web.Response:

@@ -78,3 +78,48 @@ def test_address_helpers():
     assert default_step_port("10.0.0.5:8476") == 9476
     assert coordinator_host("10.0.0.5:8476") == "10.0.0.5"
     assert coordinator_host(None) == "127.0.0.1"
+
+
+def test_heartbeat_timeout_raises(monkeypatch):
+    """A silent leader past JLAMA_STEP_TIMEOUT is presumed dead: next()
+    raises instead of blocking the follower forever."""
+    monkeypatch.setenv("JLAMA_STEP_TIMEOUT", "0.3")
+    port = _free_port()
+    got = {}
+
+    def follower():
+        ch = StepChannel.connect("127.0.0.1", port, timeout=30)
+        try:
+            ch.next()
+        except ConnectionError as e:
+            got["err"] = str(e)
+
+    t = threading.Thread(target=follower)
+    t.start()
+    srv = StepChannel.serve(port, 1, host="127.0.0.1", timeout=30)
+    t.join(timeout=30)  # leader stays silent — no publish at all
+    assert "leader presumed dead" in got.get("err", ""), got
+    srv.close()
+
+
+def test_publish_to_dead_follower_raises():
+    """Losing a follower must fail the publish fast (a hung collective would
+    otherwise freeze every surviving process)."""
+    import pytest
+
+    port = _free_port()
+    follower_ch = {}
+
+    def follower():
+        follower_ch["ch"] = StepChannel.connect("127.0.0.1", port, timeout=30)
+
+    t = threading.Thread(target=follower)
+    t.start()
+    srv = StepChannel.serve(port, 1, host="127.0.0.1", timeout=30)
+    t.join(timeout=30)
+    follower_ch["ch"].close()  # follower dies
+    with pytest.raises(ConnectionError, match="follower 1 lost"):
+        # first sends may land in socket buffers; the RST surfaces within a
+        # few frames of a closed peer
+        for _ in range(1000):
+            srv.publish({"op": "ping", "pad": b"x" * 4096})
