@@ -267,6 +267,8 @@ def cmd_serve(args) -> None:
             weight_format=wfmt,
             step_channel=step_channel,
         )
+        if args.itl_budget_ms:
+            sched.itl_budget_ms = args.itl_budget_ms
     # HBM hygiene: exactly ONE copy of the layer weights stays live — the
     # scheduler's fused tree. The embeddings/classification Engine shares it
     # (fuse=False: already fused), and the pre-fuse tree is dropped here
@@ -436,6 +438,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pre-compile every jit variant serving will hit up "
                         "to this many context tokens before accepting "
                         "requests (one-time with the persistent cache)")
+    p.add_argument("--itl-budget-ms", type=float, default=0.0,
+                   help="inter-token latency budget: auto-tunes the async "
+                        "decode window depth so token delivery intervals "
+                        "stay under this many ms (0 = throughput-first)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("download", help="download a model from HuggingFace")

@@ -262,6 +262,15 @@ class BatchScheduler:
             1, int(_os2.environ.get("JLAMA_STREAM_LAG",
                                     str(min(4, self.decode_lag))))
         )
+        # inter-token latency budget (ms): auto-tunes the async window depth
+        # so the drain interval (≈ depth × step time) stays under budget.
+        # Step time is an EWMA of steady-state drain spacing, so the knob
+        # adapts to the model/batch instead of needing a hand-picked lag.
+        self.itl_budget_ms = (
+            float(_os2.environ.get("JLAMA_ITL_BUDGET_MS", "0")) or None
+        )
+        self._step_ms: float | None = None
+        self._last_drain: float | None = None
 
         # attn_window (static, bucketed) bounds how many page-table columns
         # the attention gather touches; without it every prefill chunk reads
@@ -1023,20 +1032,23 @@ class BatchScheduler:
         if not running:
             return None
         ps = self.kv.page_size
+        # the next window may be shallower than the in-flight one when a
+        # latency budget is set and the measured step time moved
+        depth_next = self._budget_lag(depth)
         # host-side positions lag by the in-flight window's `depth` tokens
         head = min(
             min(r.max_new_tokens - len(r.out_ids) for r in running),
             min(self.max_seq_len - 1 - r.position for r in running),
         )
-        if head < 2 * depth:
+        if head < depth + depth_next:
             return None
         for r in running:
             if not self._ensure_capacity_evicting(
-                self._kv_key(r), r.position + 2 * depth, ps
+                self._kv_key(r), r.position + depth + depth_next, ps
             ):
                 return None
         win = min(
-            _bucket(max(r.position for r in running) + 2 * depth),
+            _bucket(max(r.position for r in running) + depth + depth_next),
             self.kv.max_pages_per_seq * ps,
         )
         # rebuild page tables: the capacity just ensured may have allocated
@@ -1047,14 +1059,31 @@ class BatchScheduler:
         pts = self.kv.page_table(seq_ids)
         if self._chan is not None and self._is_leader:
             self._chan.publish(
-                {"op": "decode_chain", "depth": int(depth), "win": int(win),
-                 "pts": pts}
+                {"op": "decode_chain", "depth": int(depth_next),
+                 "win": int(win), "pts": pts}
             )
-        return (running, self._chain_steps(win, depth, pts), depth)
+        return (running, self._chain_steps(win, depth_next, pts), depth_next)
+
+    def _budget_lag(self, lag: int) -> int:
+        """Depth cap from the inter-token latency budget (identity when no
+        budget is set or no step-time estimate exists yet)."""
+        if self.itl_budget_ms is None or not self._step_ms:
+            return max(1, lag)
+        return max(1, min(lag, int(self.itl_budget_ms / self._step_ms)))
 
     def _drain_window(self, und) -> None:
-        running, toks_windows, _ = und
+        running, toks_windows, depth = und
         self._apply_sampled(running, [self._fetch(t) for t in toks_windows])
+        # EWMA of per-step time from drain spacing; only back-to-back
+        # chained drains are a valid sample (idle gaps would inflate it)
+        now = time.perf_counter()
+        if self._last_drain is not None:
+            ms = (now - self._last_drain) * 1000.0 / max(1, depth)
+            self._step_ms = (
+                ms if self._step_ms is None
+                else 0.8 * self._step_ms + 0.2 * ms
+            )
+        self._last_drain = now if self._undrained is not None else None
 
     def step(self) -> int:
         """One scheduler iteration: admit, one prefill chunk, one decode.
@@ -1135,7 +1164,7 @@ class BatchScheduler:
             lag = self.decode_lag
             if any(r.on_token is not None for r in running):
                 lag = min(lag, self.stream_lag)
-            depth = max(1, min(lag, head))
+            depth = max(1, min(self._budget_lag(lag), head))
             for r in running:
                 if not self._ensure_capacity_evicting(
                     self._kv_key(r), r.position + depth, ps

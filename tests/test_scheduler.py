@@ -357,6 +357,36 @@ def test_decode_lag_pipeline_matches(setup):
             assert g.finish_reason == r.finish_reason
 
 
+def test_itl_budget_caps_window_depth(setup):
+    """The inter-token latency budget caps the async window depth from the
+    measured step time — and a capped depth changes no tokens."""
+    eng, _ = setup
+    from jlama_tpu.runtime.scheduler import BatchScheduler
+
+    params, cfg = eng.params, eng.cfg
+    mk = lambda **kw: BatchScheduler(  # noqa: E731
+        params, cfg, n_slots=3, n_pages=64, page_size=8, max_seq_len=64,
+        kv_dtype=jnp.float32, compute_dtype=jnp.float32, fuse=False,
+        decode_lag=4, **kw,
+    )
+    s = mk()
+    s.itl_budget_ms = 50.0
+    assert s._budget_lag(4) == 4  # no step-time estimate yet: uncapped
+    s._step_ms = 20.0
+    assert s._budget_lag(4) == 2  # 50ms budget / 20ms step
+    s._step_ms = 100.0
+    assert s._budget_lag(4) == 1  # budget below one step: floor at 1
+
+    ref = mk().generate([1, 5, 9, 42], max_new_tokens=10, temperature=0.0)
+    got = s.generate([1, 5, 9, 42], max_new_tokens=10, temperature=0.0)
+    assert got.token_ids == ref.token_ids  # capped-depth decode, same tokens
+
+    # an uncapped steady decode populates the step-time EWMA from drains
+    s2 = mk()
+    s2.generate([1, 5, 9, 42], max_new_tokens=12, temperature=0.0)
+    assert s2._step_ms is not None and s2._step_ms > 0
+
+
 def test_decode_lag_concurrent(setup):
     """Windowed decode with several in-flight requests stays token-exact."""
     eng, _ = setup
