@@ -199,12 +199,19 @@ def main():
     np.asarray(out)
     best = None
     pos = PROMPT_TOKENS + DECODE_TOKENS
+    # time REPS windows back-to-back with ONE final sync: the axon relay's
+    # fixed dispatch+fetch round trip is ~25 ms per np.asarray, which at 1B
+    # step times (~2.7 ms) would inflate a single 128-token window by ~7%.
+    # Serving never pays this per window (token fetches are double-buffered
+    # behind the next window's dispatch), so it is a measurement artifact.
+    REPS = 3
     for _ in range(2):
         start = time.perf_counter()
-        out, cache, key = run_window(cache, key, pos)
+        for _ in range(REPS):
+            out, cache, key = run_window(cache, key, pos)
+            pos += DECODE_TOKENS
         np.asarray(out)
-        dt = time.perf_counter() - start
-        pos += DECODE_TOKENS
+        dt = (time.perf_counter() - start) / REPS
         best = dt if best is None else min(best, dt)
     dt = best
 

@@ -116,7 +116,10 @@ def q4k_matmul_2d(
     # (k=14336 at bm=256/bn=256 measured 17.75M scoped > 16M limit).
     # m is the OUTER grid axis so the weight stream (the big operand in
     # decode; the reused one in prefill) is sequential per m-tile.
-    bm = min(256 if k <= 8192 else 128, m)
+    import os
+
+    env_bm = os.environ.get("JLAMA_Q4_BLOCK_M")
+    bm = min(int(env_bm) if env_bm else (256 if k <= 8192 else 128), m)
     pad_m = (-m) % bm
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
@@ -128,8 +131,6 @@ def q4k_matmul_2d(
         # block_n sweep: bn=512 beats 1024 at k=4096 on few-tile shapes —
         # 439 vs 417 GB/s at n=4096 — and ties elsewhere; k=14336 OOMs
         # beyond 256 yet still streams ~480 GB/s — VPU-bound, not DMA-bound)
-        import os
-
         env_bn = os.environ.get("JLAMA_Q4_BLOCK_N")
         if env_bn and k <= 8192:  # k>8192 needs <=256 to fit VMEM
             block_n = int(env_bn)

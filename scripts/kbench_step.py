@@ -67,7 +67,9 @@ def main():
     )
 
     @jax.jit
-    def step_chain(x, n_steps_arr):
+    def step_chain(weights, head_w, x, n_steps_arr):
+        # weights ride in as jit ARGUMENTS: closure capture would inline
+        # 0.6+ GB of constants into the HLO (the remote-compile relay 413s)
         def one_step(x):
             h = x
             for li in range(L):
@@ -86,12 +88,12 @@ def main():
 
     x = jax.random.normal(key, (1, D), jnp.bfloat16)
     n = jnp.int32(N_STEPS)
-    out = step_chain(x, n)
+    out = step_chain(weights, head_w, x, n)
     np.asarray(out)
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
-        np.asarray(step_chain(x, n))
+        np.asarray(step_chain(weights, head_w, x, n))
         t = time.perf_counter() - t0
         best = t if best is None else min(best, t)
     per_step = best / N_STEPS
