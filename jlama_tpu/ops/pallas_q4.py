@@ -21,6 +21,15 @@ Design notes (all shaped by Mosaic's layout rules):
   y -= 8 * (block_sums(x) @ scales.T), a tiny extra MXU dot); the two nibble
   planes feed two separate dots (no concat copy); scales are bf16 so the
   dequant multiply runs at bf16 lane width.
+- Native int4 storage was probed and is DEAD on this toolchain
+  (scripts/probe_int4.py, 2026-08-20): Mosaic rejects u4->bf16 converts
+  ("Unsupported cast") and u8->2xu4 bitcasts ("Changing bitwidths not
+  supported") in-kernel, and the relay cannot even hold an XLA s4 array
+  (transfer recursion). The &0xF / >>4 extraction below is therefore the
+  only packed-load path; its measured cost is ~130 GB/s of stream rate
+  (dot2 diagnostic, STATUS.md) and the kernel sits at the bf16-dequant
+  design's VPU floor (~500 GB/s) until the toolchain gains 8-bit or 4-bit
+  vector arithmetic.
 """
 
 from __future__ import annotations
