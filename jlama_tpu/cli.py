@@ -412,7 +412,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_opts(p)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--batch-slots", type=int, default=8)
+    # default from the measured throughput curve (BENCH_SERVING_CURVE_r04):
+    # 8B-JQ4 gives 359/450/525 tok/s at 8/16/32 slots with inter-token p95
+    # 92/148/254 ms — 16 is the throughput/latency balance point
+    p.add_argument("--batch-slots", type=int, default=16)
     p.add_argument("--kv-pages", type=int, default=512)
     p.add_argument("--page-size", type=int, default=64)
     p.add_argument(
