@@ -375,7 +375,10 @@ def test_itl_budget_caps_window_depth(setup):
     s._step_ms = 20.0
     assert s._budget_lag(4) == 2  # 50ms budget / 20ms step
     s._step_ms = 100.0
-    assert s._budget_lag(4) == 1  # budget below one step: floor at 1
+    # budget below one step: floors at 2, not 1 — depth 1 would kill the
+    # drain/dispatch overlap AND stop the step-time samples that could
+    # ever raise the depth again
+    assert s._budget_lag(4) == 2
 
     ref = mk().generate([1, 5, 9, 42], max_new_tokens=10, temperature=0.0)
     got = s.generate([1, 5, 9, 42], max_new_tokens=10, temperature=0.0)
