@@ -885,10 +885,15 @@ class BatchScheduler:
             import os
 
             os.makedirs(to_dir, exist_ok=True)
+            # uint8 views: npz has no dtype for bf16 pools (saves as void
+            # |V2 which cannot round-trip); restore views back via the pool
+            # leaf's dtype
             np.savez(
                 f"{to_dir}/{session_id}.kv.npz",
-                *jax.tree.leaves(k_host),
-                *jax.tree.leaves(v_host),
+                *[
+                    np.ascontiguousarray(a).view(np.uint8)
+                    for a in jax.tree.leaves((k_host, v_host))
+                ],
             )
             return ("disk", to_dir)
         return ("ram", k_host, v_host)
@@ -904,7 +909,9 @@ class BatchScheduler:
         np.savez(
             f"{to_dir}/{session_id}.kv.p{jax.process_index()}.npz",
             *[
-                np.stack([np.asarray(s.data) for s in a.addressable_shards])
+                np.stack(
+                    [np.asarray(s.data) for s in a.addressable_shards]
+                ).view(np.uint8)  # npz-safe: bf16 has no npz dtype
                 for a in leaves
             ],
         )
@@ -957,9 +964,15 @@ class BatchScheduler:
         k_tree, v_tree = self._pool_trees()
         k_leaves, k_def = jax.tree.flatten(k_tree)
         kind = payload[0]
+        # disk payloads were saved as uint8 views (npz cannot represent
+        # bf16); view back via the pool leaves' dtypes (k and v pools share
+        # dtypes, so the k-leaf list covers both halves)
+        pool_dtypes = [np.dtype(l.dtype) for l in k_leaves] * 2
         if kind == "disk":
             with np.load(f"{payload[1]}/{session_id}.kv.npz") as z:
-                arrs = [z[f] for f in z.files]
+                arrs = [
+                    z[f].view(dt) for f, dt in zip(z.files, pool_dtypes)
+                ]
             k_host = jax.tree.unflatten(k_def, arrs[: len(k_leaves)])
             v_host = jax.tree.unflatten(k_def, arrs[len(k_leaves):])
         elif kind in ("mram", "mdisk"):
@@ -967,7 +980,10 @@ class BatchScheduler:
             if kind == "mdisk":
                 path = f"{stored}/{session_id}.kv.p{jax.process_index()}.npz"
                 with np.load(path) as z:
-                    stored = [list(z[f]) for f in z.files]
+                    stored = [
+                        list(z[f].view(dt))
+                        for f, dt in zip(z.files, pool_dtypes)
+                    ]
             leaves = [
                 jax.make_array_from_single_device_arrays(
                     shape, sharding,

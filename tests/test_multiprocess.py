@@ -115,6 +115,16 @@ if pid == 0:
                         session_id="sess")
     print("TOKENS3", ",".join(map(str, r3.token_ids)))
     print("TOKENS4", ",".join(map(str, r4.token_ids)))
+    # disk offload across hosts: each process saves only its own rank's
+    # shard file ("mdisk" payload) and restores it on resume
+    r5 = sched.generate([1, 19], max_new_tokens=3, temperature=0.0,
+                        session_id="disk")
+    off_dir = "/tmp/jlama_test_offload_" + sys.argv[3]
+    assert sched.suspend_session("disk", to_dir=off_dir), "disk suspend"
+    r6 = sched.generate([2, 23], max_new_tokens=3, temperature=0.0,
+                        session_id="disk")
+    print("TOKENS5", ",".join(map(str, r5.token_ids)))
+    print("TOKENS6", ",".join(map(str, r6.token_ids)))
     chan.close()
 else:
     sched.run_follower()
@@ -187,6 +197,11 @@ def test_two_process_serving_scheduler(tmp_path):
     assert sched.suspend_session("sess")
     ref4 = sched.generate([2, 17], max_new_tokens=4, temperature=0.0,
                           session_id="sess")
+    ref5 = sched.generate([1, 19], max_new_tokens=3, temperature=0.0,
+                          session_id="disk")
+    assert sched.suspend_session("disk", to_dir=str(tmp_path / "off"))
+    ref6 = sched.generate([2, 23], max_new_tokens=3, temperature=0.0,
+                          session_id="disk")
     got = {
         line.split(" ")[0]: line.split(" ")[1]
         for line in outs[0].splitlines()
@@ -196,6 +211,8 @@ def test_two_process_serving_scheduler(tmp_path):
     assert got["TOKENS2"] == ",".join(map(str, ref2.token_ids)), outs[0][-1500:]
     assert got["TOKENS3"] == ",".join(map(str, ref3.token_ids)), outs[0][-1500:]
     assert got["TOKENS4"] == ",".join(map(str, ref4.token_ids)), outs[0][-1500:]
+    assert got["TOKENS5"] == ",".join(map(str, ref5.token_ids)), outs[0][-1500:]
+    assert got["TOKENS6"] == ",".join(map(str, ref6.token_ids)), outs[0][-1500:]
 
 
 HTTP_WORKER = r"""
