@@ -160,7 +160,9 @@ def main():
     MODE = os.environ.get("JLAMA_BENCH_MODE") or (
         "chain" if MODEL == "8b" else "loop"
     )
-    win = min(PROMPT_TOKENS + 4 * DECODE_TOKENS, max_len)
+    # sized so every timed window's decode positions stay inside the
+    # allocated window: warmup + 2 passes x REPS(=3) windows (ADVICE r4)
+    win = min(PROMPT_TOKENS + 7 * DECODE_TOKENS, max_len)
 
     if MODE == "loop":
         from jlama_tpu.runtime.device_loop import make_decode_loop, pad_stop_ids

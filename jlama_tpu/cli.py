@@ -252,6 +252,13 @@ def cmd_serve(args) -> None:
             max_seq_len=args.context, kv_dtype=kv_dtype,
             weight_format=wfmt,
         )
+        if args.itl_budget_ms:
+            # the pp PipelinedScheduler has no async window depth to budget
+            print(
+                "warning: --itl-budget-ms is ignored on the pp pipeline "
+                "path (fixed tick window); use --no-pp-pipeline for the "
+                "budgeted scheduler", file=sys.stderr,
+            )
     else:
         sched = BatchScheduler(
             params,
@@ -281,7 +288,7 @@ def cmd_serve(args) -> None:
     from .runtime.engine import Engine
 
     sched.embed_engine = Engine(
-        sched.params, cfg, tokenizer, max_seq_len=args.context, mesh=None,
+        sched.params, sched.cfg, tokenizer, max_seq_len=args.context, mesh=None,
         fuse=False, moe_ragged=False, step_channel=step_channel,
         input_mesh=mesh,
     )

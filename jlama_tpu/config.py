@@ -91,6 +91,13 @@ class ModelConfig:
     classification_labels: dict[int, str] | None = None
     pooling_type: str | None = None
 
+    # runtime layout marker: >1 when fused qkv/gate-up rows were interleaved
+    # per tp shard for the shard_map forward (models.base.fuse_params tp=N);
+    # the standard forward then regroups the fused projection's output
+    # columns before splitting (nn.layers). Inside shard_map the local cfg
+    # resets this to 1 (each shard's block is a plain [q;k;v] concat).
+    fused_tp: int = 1
+
     raw: dict[str, Any] = field(default_factory=dict, repr=False)
 
     # ---- derived (reference Config.java:254-268) ----

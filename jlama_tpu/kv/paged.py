@@ -45,35 +45,58 @@ class PagedKVState(NamedTuple):
 
 @dataclass
 class PageAllocator:
-    """Host-side page bookkeeping (the reference's lazy page allocation)."""
+    """Host-side page bookkeeping (the reference's lazy page allocation).
+
+    groups > 1 (data-parallel serving, parallel/tp_forward.py): the page id
+    space is partitioned into `groups` equal ranges, one per dp shard; a
+    sequence allocates only from its group's range so its pages live in the
+    dp shard that owns its batch rows. Page g*(n_pages//groups) of each
+    range is that group's scratch page (the target for unallocated
+    page-table entries; group 0's is the classic page 0)."""
 
     n_pages: int
-    free: list[int] = field(default_factory=list)
+    groups: int = 1
+    free: list[list[int]] = field(default_factory=list)
     by_seq: dict[str, list[int]] = field(default_factory=dict)
+    group_of: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
-        # page 0 reserved as scratch target for unallocated entries
-        self.free = list(range(self.n_pages - 1, 0, -1))
+        per = self.n_pages // self.groups
+        # first page of each group's range reserved as its scratch target
+        self.free = [
+            list(range((g + 1) * per - 1, g * per, -1))
+            for g in range(self.groups)
+        ]
+
+    def scratch(self, group: int = 0) -> int:
+        return group * (self.n_pages // self.groups)
 
     def pages_for(self, seq_id: str) -> list[int]:
         return self.by_seq.setdefault(seq_id, [])
 
-    def ensure_capacity(self, seq_id: str, n_tokens: int, page_size: int) -> list[int]:
+    def ensure_capacity(
+        self, seq_id: str, n_tokens: int, page_size: int, group: int = 0
+    ) -> list[int]:
         pages = self.pages_for(seq_id)
+        if pages:
+            group = self.group_of.get(seq_id, group)
         needed = -(-n_tokens // page_size)
+        free = self.free[group]
         while len(pages) < needed:
-            if not self.free:
+            if not free:
                 raise MemoryError("KV page pool exhausted")
-            pages.append(self.free.pop())
+            pages.append(free.pop())
+            self.group_of[seq_id] = group
         return pages
 
     def release(self, seq_id: str) -> None:
         pages = self.by_seq.pop(seq_id, [])
-        self.free.extend(reversed(pages))
+        g = self.group_of.pop(seq_id, 0)
+        self.free[g].extend(reversed(pages))
 
     @property
     def n_free(self) -> int:
-        return len(self.free)
+        return sum(len(f) for f in self.free)
 
 
 class PagedKVCache:
@@ -86,6 +109,7 @@ class PagedKVCache:
         page_size: int = 64,
         max_pages_per_seq: int | None = None,
         dtype=jnp.bfloat16,
+        groups: int = 1,
     ):
         """dtype: a jnp float dtype, or the string "q8" for a quantized pool
         (int8 payload + block-32 f32 scales along head_size — half the HBM
@@ -111,13 +135,19 @@ class PagedKVCache:
             self.state = PagedKVState(qpool(), qpool())
         else:
             self.state = PagedKVState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
-        self.alloc = PageAllocator(n_pages)
+        self.alloc = PageAllocator(n_pages, groups=groups)
 
-    def page_table(self, seq_ids: list[str]) -> np.ndarray:
-        """Padded page tables [B, max_pages_per_seq]; unallocated → 0 (scratch)."""
+    def page_table(
+        self, seq_ids: list[str], groups: list[int] | None = None
+    ) -> np.ndarray:
+        """Padded page tables [B, max_pages_per_seq]; unallocated entries
+        point at the row's group scratch page (page 0 for group 0)."""
         P = self.max_pages_per_seq
         out = np.zeros((len(seq_ids), P), dtype=np.int32)
         for i, sid in enumerate(seq_ids):
+            g = groups[i] if groups else self.alloc.group_of.get(sid, 0)
+            if g:
+                out[i, :] = self.alloc.scratch(g)
             pages = self.alloc.pages_for(sid)
             out[i, : len(pages)] = pages
         return out

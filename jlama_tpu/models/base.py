@@ -52,8 +52,15 @@ class KVCache(NamedTuple):
 
 def _embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, positions: jnp.ndarray,
            token_types: jnp.ndarray | None, dtype) -> jnp.ndarray:
+    from ..parallel import tp_forward
+
     emb = params["embed"]
-    if hasattr(emb, "dequantize"):
+    ctx = tp_forward.current()
+    if ctx is not None and ctx.embed_vocab_sharded:
+        # inside shard_map with a vocab-row-sharded table: masked local
+        # gather + psum assembles the embedding from the owning shard
+        x = tp_forward.sharded_vocab_gather(emb, tokens, ctx.tp_axis)
+    elif hasattr(emb, "dequantize"):
         # gather the rows FIRST, then dequantize only those (a full-table
         # dequant would stream the whole vocab every step)
         x = emb[tokens].dequantize(jnp.float32)
@@ -241,23 +248,42 @@ def forward_hidden(
     return x, new_cache
 
 
-def _concat_rows(ws):
+def _interleave_concat(arrs, axis: int, tp: int):
+    """Concatenate along `axis` with shard interleaving: the result's rows,
+    viewed in tp equal blocks, give block i = [a0_shard_i; a1_shard_i; ...].
+    With tp=1 this is a plain concat. Required so a shard_map/GSPMD block
+    partition of the fused rows hands each tp shard exactly its own
+    (q_i, k_i, v_i) / (gate_i, up_i) segments (parallel/tp_forward.py)."""
+    if tp == 1:
+        return jnp.concatenate(arrs, axis=axis)
+    axis = axis % arrs[0].ndim
+    parts = [
+        a.reshape(*a.shape[:axis], tp, a.shape[axis] // tp, *a.shape[axis + 1:])
+        for a in arrs
+    ]
+    cat = jnp.concatenate(parts, axis=axis + 1)
+    return cat.reshape(*cat.shape[:axis], -1, *cat.shape[axis + 2:])
+
+
+def _concat_rows(ws, tp: int = 1):
     """Concatenate weights along the output-row axis (works for [*, out, in]
     jnp arrays and QArrays of any fmt — q4/q8/q4k packing and block scales are
-    all per-row along the input axis, so row concat never crosses a block)."""
+    all per-row along the input axis, so row concat never crosses a block).
+
+    tp > 1 interleaves the rows per tp shard (see _interleave_concat)."""
     from ..nn.qarray import QArray
 
     if isinstance(ws[0], QArray):
         axis = ws[0].data.ndim - 2
         return QArray(
-            jnp.concatenate([w.data for w in ws], axis=axis),
-            jnp.concatenate([w.scales for w in ws], axis=axis),
+            _interleave_concat([w.data for w in ws], axis, tp),
+            _interleave_concat([w.scales for w in ws], axis, tp),
             ws[0].fmt,
         )
-    return jnp.concatenate(ws, axis=ws[0].ndim - 2)
+    return _interleave_concat(ws, ws[0].ndim - 2, tp)
 
 
-def _fuse_layer_dict(d: dict) -> dict:
+def _fuse_layer_dict(d: dict, tp: int = 1) -> dict:
     from ..nn.qarray import QArray
 
     out = dict(d)
@@ -268,9 +294,9 @@ def _fuse_layer_dict(d: dict) -> dict:
     # bias presence must be uniform (all three or none): fusing weights while
     # dropping a partial bias set would silently change the model's outputs
     if all(w is not None for w in qkv) and len(fmts) == 1 and n_bias in (0, 3):
-        out["wqkv"] = _concat_rows(qkv)
+        out["wqkv"] = _concat_rows(qkv, tp)
         if n_bias == 3:
-            out["wqkv.bias"] = jnp.concatenate(biases, axis=-1)
+            out["wqkv.bias"] = _interleave_concat(biases, -1, tp)
         for k in ("wq", "wk", "wv", "wq.bias", "wk.bias", "wv.bias"):
             out.pop(k, None)
     if (
@@ -285,13 +311,13 @@ def _fuse_layer_dict(d: dict) -> dict:
             )
         )
     ):
-        out["w13"] = _concat_rows([d["w1"], d["w3"]])
+        out["w13"] = _concat_rows([d["w1"], d["w3"]], tp)
         for k in ("w1", "w3"):
             out.pop(k, None)
     return out
 
 
-def fuse_params(params: dict) -> dict:
+def fuse_params(params: dict, tp: int = 1) -> dict:
     """Fuse QKV into one [qdim+2*kvdim, D] matmul and gate/up into one
     [2H, D] matmul (one-time concat; numerics unchanged — the same rows hit
     the same reduction).
@@ -300,13 +326,18 @@ def fuse_params(params: dict) -> dict:
     (CausalSelfAttention.java:176-192, MLPBlock.java:116-127): decode (M=1)
     is launch- and bandwidth-bound, so fewer, larger kernels win. The forward
     path uses the fused keys when present (see nn.layers).
+
+    tp > 1 (the shard_map tensor-parallel path) interleaves the fused rows
+    so tp shard i's contiguous row block is [wq_i; wk_i; wv_i] — the local
+    qkv split inside shard_map then lands on head boundaries. The plain
+    (tp=1) layout stays the GSPMD/single-device format.
     """
     stacked = params.get("layers")
     out = dict(params)
     if isinstance(stacked, (list, tuple)):
-        out["layers"] = [_fuse_layer_dict(d) for d in stacked]
+        out["layers"] = [_fuse_layer_dict(d, tp) for d in stacked]
     elif isinstance(stacked, dict):
-        out["layers"] = _fuse_layer_dict(stacked)
+        out["layers"] = _fuse_layer_dict(stacked, tp)
     return out
 
 
@@ -373,9 +404,16 @@ def lm_logits(params: dict, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarra
     cf. AbstractModel.sample (AbstractModel.java:443-491): logit multiplier
     (granite divides by logits_scaling) then final softcapping (gemma2).
     """
+    from ..parallel import tp_forward
+
     h = final_hidden(params, cfg, hidden)
     w = params.get("lm_head", params["embed"])
     logits = linear(h, w, out_dtype=jnp.float32)
+    ctx = tp_forward.current()
+    if ctx is not None and ctx.lm_head_vocab_sharded:
+        # inside shard_map: each shard computed its vocab-column slice;
+        # concatenate into the full logits (sampling runs replicated)
+        logits = tp_forward.gather_vocab_logits(logits, ctx.tp_axis)
     if cfg.logit_multiplier is not None:
         logits = logits / cfg.logit_multiplier
     if cfg.final_logit_softcap is not None:

@@ -25,6 +25,65 @@ from ..utils.debug import debug
 from .rope import apply_rope
 
 
+def _split_fused(y: jnp.ndarray, sizes: tuple[int, ...], fused_tp: int):
+    """Split a fused projection's output columns into its sections.
+
+    fused_tp > 1: the fused rows were interleaved per tp shard
+    (models.base.fuse_params) so the output column order is
+    [s0: a0,b0,..., s1: a1,b1,...]; regroup each section's shard slices
+    back into contiguous columns (a pure reshape/slice on the activation,
+    original within-section order preserved)."""
+    if fused_tp == 1:
+        out, off = [], 0
+        for s in sizes:
+            out.append(y[..., off : off + s])
+            off += s
+        return out
+    tot = y.shape[-1]
+    yr = y.reshape(*y.shape[:-1], fused_tp, tot // fused_tp)
+    out, off = [], 0
+    for s in sizes:
+        sl = s // fused_tp
+        part = yr[..., off : off + sl]
+        out.append(part.reshape(*y.shape[:-1], s))
+        off += sl
+    return out
+
+
+def _row_parallel_linear(x, w, bias, fused_tp: int = 1):
+    """Row-parallel (input-sharded) projection: inside a shard_map region
+    the partial products are psum'd over tp BEFORE the bias — the
+    reference's tensorReducer/combine point (CausalSelfAttention.java:
+    363-381, MLPBlock.java:144-163). Outside shard_map this is linear().
+
+    fused_tp > 1 outside shard_map (cfg.fused_tp, e.g. the embed Engine
+    sharing a shard_map scheduler's weight tree): a q4k weight here is in
+    the CHUNKED kernel layout (ops.pallas_q4.to_kernel_layout chunks=tp),
+    so the contraction runs per input chunk and sums — numerically the same
+    reduction, tp kernel calls instead of one (fine off the decode path)."""
+    from ..nn.qarray import QArray
+    from ..parallel.tp_forward import current, tp_reduce
+
+    if fused_tp > 1 and current() is None and isinstance(w, QArray) and w.fmt == "q4k":
+        kl = x.shape[-1] // fused_tp
+        dl = w.data.shape[-1] // fused_tp
+        sl = w.scales.shape[-1] // fused_tp
+        y = None
+        for i in range(fused_tp):
+            wi = QArray(
+                w.data[..., i * dl : (i + 1) * dl],
+                w.scales[..., i * sl : (i + 1) * sl],
+                "q4k",
+            )
+            yi = linear(x[..., i * kl : (i + 1) * kl], wi)
+            y = yi if y is None else y + yi
+    else:
+        y = tp_reduce(linear(x, w))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # Norms (cf. RMSNorm.java:34, LayerNorm.java:41)
 # ---------------------------------------------------------------------------
@@ -169,9 +228,7 @@ def self_attention_block(
         qdim = cfg.n_heads * hd
         kvdim = cfg.n_kv_heads * hd
         qkv = linear(x, params["wqkv"], params.get("wqkv.bias"))
-        q = qkv[..., :qdim]
-        k = qkv[..., qdim : qdim + kvdim]
-        v = qkv[..., qdim + kvdim :]
+        q, k, v = _split_fused(qkv, (qdim, kvdim, kvdim), cfg.fused_tp)
     else:
         q = linear(x, params["wq"], params.get("wq.bias"))
         k = linear(x, params["wk"], params.get("wk.bias"))
@@ -316,7 +373,8 @@ def self_attention_block(
                 q, k_att, v_att, mask, scale, cfg.attn_logit_softcap
             )
         out = out.reshape(B, T, cfg.n_heads * hd)
-        out = linear(out, params["wo"], params.get("wo.bias"))
+        out = _row_parallel_linear(out, params["wo"], params.get("wo.bias"),
+                                   cfg.fused_tp)
         return out, cache
 
     # dense cache layout [B, n_kv, S, hd]
@@ -377,7 +435,8 @@ def self_attention_block(
             q, k_att, v_att, mask, scale, cfg.attn_logit_softcap
         )
     out = out.reshape(B, T, cfg.n_heads * hd)
-    out = linear(out, params["wo"], params.get("wo.bias"))
+    out = _row_parallel_linear(out, params["wo"], params.get("wo.bias"),
+                               cfg.fused_tp)
     return out, cache
 
 
@@ -399,17 +458,19 @@ def mlp_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
     if "w13" in params:  # fused gate+up (see models.base.fuse_params)
         h = linear(x, params["w13"])
         half = h.shape[-1] // 2
-        gate = activation(h[..., :half], cfg.activation)
-        return linear(gate * h[..., half:], params["w2"])
+        g, u = _split_fused(h, (half, half), cfg.fused_tp)
+        gate = activation(g, cfg.activation)
+        return _row_parallel_linear(gate * u, params["w2"], None, cfg.fused_tp)
     if "w3" in params:  # gated (llama family): w2(act(w1(x)) * w3(x))
         gate = activation(linear(x, params["w1"]), cfg.activation)
         up = linear(x, params["w3"])
-        return linear(gate * up, params["w2"])
+        return _row_parallel_linear(gate * up, params["w2"], None, cfg.fused_tp)
     # classic 2-layer MLP with biases (gpt2/bert)
     h = activation(
         linear(x, params["w1"], params.get("w1.bias")), cfg.activation
     )
-    return linear(h, params["w2"], params.get("w2.bias"))
+    return _row_parallel_linear(h, params["w2"], params.get("w2.bias"),
+                                cfg.fused_tp)
 
 
 # ---------------------------------------------------------------------------

@@ -98,12 +98,27 @@ def _flash_kernel(pos0_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         )
 
 
+def _env_interpret(flag: bool) -> bool:
+    """Resolve the interpret flag OUTSIDE jit so JLAMA_PALLAS_INTERPRET=1
+    (CPU-mesh tests driving the real kernel paths) never poisons the jit
+    cache for a later non-interpret call."""
+    import os
+
+    return flag or os.environ.get("JLAMA_PALLAS_INTERPRET") == "1"
+
+
+def flash_prefill(q, k, v, pos0, scale, softcap=None, causal=True,
+                  window=None, block_t=256, block_s=512, interpret=False):
+    return _flash_prefill_jit(q, k, v, pos0, scale, softcap, causal, window,
+                              block_t, block_s, _env_interpret(interpret))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "softcap", "causal", "window", "block_t",
                      "block_s", "interpret"),
 )
-def flash_prefill(
+def _flash_prefill_jit(
     q: jnp.ndarray,  # [B, H, T, hd]
     k: jnp.ndarray,  # [B, n_kv, S, hd]
     v: jnp.ndarray,
@@ -247,10 +262,16 @@ def _paged_decode_kernel(pt_ref, lengths_ref, q_ref, k_ref, v_ref, ks_ref,
         )
 
 
+def paged_decode(q, k_pool, v_pool, page_tables, lengths, scale,
+                 softcap=None, window=None, interpret=False):
+    return _paged_decode_jit(q, k_pool, v_pool, page_tables, lengths, scale,
+                             softcap, window, _env_interpret(interpret))
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "softcap", "window", "interpret")
 )
-def paged_decode(
+def _paged_decode_jit(
     q: jnp.ndarray,  # [B, H, hd] (T == 1)
     k_pool,  # [n_kv, n_pages, ps, hd] array, or QArray-style (data, scales)
     v_pool,

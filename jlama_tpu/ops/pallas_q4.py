@@ -52,13 +52,30 @@ def kernel_column_perm(k: int) -> np.ndarray:
     return (c % nb) * 16 + c // nb
 
 
-def to_kernel_layout(w: QArray) -> QArray:
-    """One-time repack of a canonical q4 QArray into kernel column order."""
+def to_kernel_layout(w: QArray, chunks: int = 1) -> QArray:
+    """One-time repack of a canonical q4 QArray into kernel column order.
+
+    chunks > 1 (the shard_map tensor-parallel path): the input/contraction
+    dim is split into `chunks` contiguous block-aligned slices and each
+    slice gets its OWN kernel column order. A tp block-partition of the
+    packed axis then hands shard i packed columns that are exactly the q4k
+    layout for K/chunks — required for row-parallel (input-sharded) weights
+    (wo/w2), whose global q4k permutation would otherwise interleave every
+    shard's input features (parallel/tp_forward.py). The block-32 scales
+    need no repack: chunk i's scale columns are already the contiguous
+    slice [i*nb/chunks, (i+1)*nb/chunks)."""
     if w.fmt != "q4":
         raise ValueError(f"expected fmt q4, got {w.fmt}")
     k = w.data.shape[-1] * 2
-    perm = kernel_column_perm(k)
-    return QArray(w.data[..., perm], w.scales, "q4k")
+    if chunks == 1:
+        return QArray(w.data[..., kernel_column_perm(k)], w.scales, "q4k")
+    if k % (32 * chunks):
+        raise ValueError(f"k={k} not block-divisible into {chunks} chunks")
+    kl = k // chunks
+    perm = kernel_column_perm(kl)
+    d = w.data.reshape(*w.data.shape[:-1], chunks, kl // 2)
+    d = d[..., perm].reshape(w.data.shape)
+    return QArray(d, w.scales, "q4k")
 
 
 def from_kernel_layout(w: QArray) -> QArray:
@@ -190,6 +207,9 @@ def q4_matmul(x: jnp.ndarray, w: QArray, out_dtype=jnp.bfloat16, interpret=False
         w = QArray(
             w.data[..., kernel_column_perm(w.data.shape[-1] * 2)], w.scales, "q4k"
         )
+    import os
+
+    interpret = interpret or os.environ.get("JLAMA_PALLAS_INTERPRET") == "1"
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
@@ -197,26 +217,45 @@ def q4_matmul(x: jnp.ndarray, w: QArray, out_dtype=jnp.bfloat16, interpret=False
     return y.reshape(*lead, -1)
 
 
-def prepare_params_for_pallas(params):
+# layer weights whose INPUT dim is tp-sharded in the shard_map forward (the
+# psum/combine-point projections): these repack per-shard (chunked)
+_ROW_PARALLEL_KEYS = ("wo", "w2")
+
+
+def prepare_params_for_pallas(params, row_chunks: int = 1):
     """Convert q4 QArray leaves to kernel layout (one-time).
 
     The embedding table stays canonical "q4": token lookup gathers rows and
     dequantizes positionally, which the permuted q4k columns would corrupt.
     For tied-embedding models a separate q4k copy is installed as "lm_head"
     so the output projection still gets the fused kernel.
+
+    row_chunks: the shard_map tp degree — row-parallel weights (wo/w2) get
+    the per-shard chunked kernel layout (see to_kernel_layout).
     """
 
-    def conv(leaf):
+    def conv(leaf, chunks=1):
         if isinstance(leaf, QArray) and leaf.fmt == "q4":
-            return to_kernel_layout(leaf)
+            return to_kernel_layout(leaf, chunks)
         return leaf
+
+    def conv_layer_dict(d: dict) -> dict:
+        return {
+            k: conv(v, row_chunks if k in _ROW_PARALLEL_KEYS else 1)
+            for k, v in d.items()
+        }
 
     out = dict(params)
     embed = out.get("embed")
     if isinstance(embed, QArray) and embed.fmt == "q4" and "lm_head" not in out:
         out["lm_head"] = to_kernel_layout(embed)
     for k, v in out.items():
-        if k == "embed":
+        if k in ("embed", "layers"):
             continue
         out[k] = jax.tree.map(conv, v, is_leaf=lambda x: isinstance(x, QArray))
+    lay = out.get("layers")
+    if isinstance(lay, dict):
+        out["layers"] = conv_layer_dict(lay)
+    elif isinstance(lay, (list, tuple)):
+        out["layers"] = [conv_layer_dict(d) for d in lay]
     return out

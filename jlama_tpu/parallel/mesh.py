@@ -155,14 +155,19 @@ def _leaf_ndim(leaf) -> int:
     return leaf.data.ndim if isinstance(leaf, QArray) else leaf.ndim
 
 
-def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
-    """Build a NamedSharding tree matching the param tree.
+def param_pspecs(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
+    """Build the fitted PartitionSpec tree matching the param tree (QArray
+    leaves become QArray-of-specs so data and scales each get a spec).
 
     Any spec axis whose mesh extent does not divide the array dim degrades to
     replicated on that axis (e.g. an odd vocab under tp — the reference's
     planner likewise rounds head shards to what divides,
     JlamaService.java:79-126); correctness is preserved, only the sharding
-    weakens.
+    weakens. Fitted specs always carry one entry per array dim.
+
+    Used both to place params (param_shardings wraps these in NamedShardings)
+    and as shard_map in_specs for the tensor-parallel forward
+    (parallel/tp_forward.py).
     """
 
     def fit(spec: P, shape: tuple) -> P:
@@ -175,7 +180,7 @@ def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
             fixed.append(ax if ext and dim % ext == 0 else None)
         return P(*fixed)
 
-    def named(spec: P, leaf):
+    def specd(spec: P, leaf):
         if isinstance(leaf, QArray) and leaf.fmt == "q4s":
             # group-major w8a8 layout (ops/pallas_w8a8.py): data
             # [(L,) ngrp, N, 128], sigma [(L,) ngrp, N, 8], swk
@@ -187,23 +192,21 @@ def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
             dspec = P(*lead, in_ax, out_ax, None)
             sigma, swk = leaf.scales
             return QArray(
-                NamedSharding(mesh, fit(dspec, leaf.data.shape)),
+                fit(dspec, leaf.data.shape),
                 (
-                    NamedSharding(mesh, fit(dspec, sigma.shape)),
-                    NamedSharding(
-                        mesh, fit(P(*lead, in_ax, None, out_ax), swk.shape)
-                    ),
+                    fit(dspec, sigma.shape),
+                    fit(P(*lead, in_ax, None, out_ax), swk.shape),
                 ),
                 leaf.fmt,
             )
         if isinstance(leaf, QArray):
             return QArray(
-                NamedSharding(mesh, fit(spec, leaf.data.shape)),
+                fit(spec, leaf.data.shape),
                 # scales share leading dims; block dim follows data last-dim
-                NamedSharding(mesh, fit(spec, leaf.scales.shape)),
+                fit(spec, leaf.scales.shape),
                 leaf.fmt,
             )
-        return NamedSharding(mesh, fit(spec, leaf.shape))
+        return fit(spec, leaf.shape)
 
     def top_spec(key: str, leaf) -> P:
         nd = _leaf_ndim(leaf)
@@ -215,14 +218,42 @@ def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
     for k, v in params.items():
         if k == "layers":
             continue
-        out[k] = named(top_spec(k, v), v)
+        out[k] = specd(top_spec(k, v), v)
 
-    lay: dict = {}
-    for k, v in params["layers"].items():
-        nd = _leaf_ndim(v) - 1  # drop stacked layer axis
-        lay[k] = named(_spec_for_layer_key(k, nd), v)
-    out["layers"] = lay
+    stacked = params["layers"]
+    if isinstance(stacked, (list, tuple)):
+        # unrolled per-layer list: same rules, no leading pp/layer axis
+        out["layers"] = [
+            {
+                k: specd(_layer_rule(k, _leaf_ndim(v)), v)
+                for k, v in d.items()
+            }
+            for d in stacked
+        ]
+    else:
+        lay: dict = {}
+        for k, v in stacked.items():
+            nd = _leaf_ndim(v) - 1  # drop stacked layer axis
+            lay[k] = specd(_spec_for_layer_key(k, nd), v)
+        out["layers"] = lay
     return out
+
+
+def _layer_rule(key: str, ndim: int) -> P:
+    base = _LAYER_RULES.get(key)
+    if base is None:
+        base = P(*([None] * ndim))
+    return base
+
+
+def param_shardings(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
+    """NamedSharding tree matching the param tree (see param_pspecs)."""
+    specs = param_pspecs(params, cfg, mesh)
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
 
 
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:

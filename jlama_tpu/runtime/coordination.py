@@ -34,6 +34,12 @@ class StepChannel:
     def __init__(self, socks: list[socket.socket], is_server: bool):
         self._socks = socks
         self._is_server = is_server
+        # publish is called from the scheduler loop AND from public session
+        # ops (drop_session/suspend_session) that future callers may invoke
+        # off-thread; a lock keeps frames from interleaving (ADVICE r4)
+        import threading
+
+        self._pub_lock = threading.Lock()
 
     # -- construction --------------------------------------------------
 
@@ -88,6 +94,10 @@ class StepChannel:
         assert self._is_server, "only host 0 publishes"
         blob = pickle.dumps(msg, protocol=pickle.HIGHEST_PROTOCOL)
         frame = struct.pack(">I", len(blob)) + blob
+        with self._pub_lock:
+            self._publish_frame(frame)
+
+    def _publish_frame(self, frame: bytes) -> None:
         for i, s in enumerate(self._socks):
             try:
                 s.sendall(frame)

@@ -138,10 +138,38 @@ class BatchScheduler:
         self._is_leader = jax.process_index() == 0
         if self._multiproc and mesh is None:
             raise ValueError("multi-process serving requires a mesh")
+        # shard_map tensor-parallel forward (VERDICT r4 #1): under a tp mesh
+        # the Pallas kernels must see per-shard operands, which GSPMD's
+        # replicated-custom-call fallback cannot deliver. Decided BEFORE
+        # fusing because the fused qkv/gate-up rows must be shard-interleaved
+        # (models.base.fuse_params tp argument). JLAMA_SHARD_MAP=0 forces the
+        # GSPMD path.
+        self._sm = None  # SpmdCtx when active (parallel/tp_forward.py)
+        self._sm_pspecs = None
+        self._sm_cfg = cfg
+        sm_tp = 1
+        if mesh is not None and weight_format != "q4s":
+            import os as _os_sm
+
+            from ..parallel.tp_forward import can_shard_map
+
+            quantized = any(
+                hasattr(leaf, "fmt")
+                for leaf in jax.tree.leaves(
+                    params, is_leaf=lambda x: hasattr(x, "fmt")
+                )
+            )
+            if (
+                _os_sm.environ.get("JLAMA_SHARD_MAP", "1") != "0"
+                and mesh.shape.get("dp", 1) == 1
+                and mesh.shape.get("tp", 1) > 1
+                and can_shard_map(cfg, mesh, n_slots, quantized=quantized)
+            ):
+                sm_tp = mesh.shape["tp"]
         if fuse:
             from ..models.base import fuse_params
 
-            params = fuse_params(params)
+            params = fuse_params(params, tp=sm_tp)
         if moe_ragged and cfg.n_experts:
             # top-k-only grouped expert matmuls in serving (float experts;
             # quantized experts keep the dense path — see prepare_moe_ragged)
@@ -160,7 +188,10 @@ class BatchScheduler:
         elif weight_format == "q4k":
             from ..ops.pallas_q4 import prepare_params_for_pallas
 
-            params = prepare_params_for_pallas(params)
+            # shard_map tp: row-parallel weights (wo/w2) get the per-shard
+            # chunked kernel layout so each shard's packed slice is a valid
+            # q4k for its contiguous input segment
+            params = prepare_params_for_pallas(params, row_chunks=sm_tp)
         if mesh is not None:
             # re-apply the wqkv/w13 PartitionSpecs AFTER fusing: the concat of
             # already-sharded wq/wk/wv would otherwise carry whatever sharding
@@ -179,6 +210,30 @@ class BatchScheduler:
 
             params = unstack_params(params, cfg)
         self.params = params
+        if sm_tp > 1:
+            from ..parallel import tp_forward as _tpf
+            from ..parallel.mesh import param_pspecs
+
+            pspecs = param_pspecs(params, cfg, mesh)
+            ok, embed_sh, lm_sh = _tpf.specs_ok(pspecs, sm_tp)
+            if not ok:  # pragma: no cover — can_shard_map should prevent it
+                raise ValueError(
+                    "shard_map tp forward: a weight spec degraded to "
+                    "replicated after fusing (params were interleave-fused "
+                    "for shard_map, which the GSPMD fallback cannot use); "
+                    "set JLAMA_SHARD_MAP=0 to force the GSPMD path"
+                )
+            self._sm = _tpf.SpmdCtx("tp", None, embed_sh, lm_sh)
+            self._sm_pspecs = pspecs
+            self._sm_cfg = _tpf.localize_cfg(cfg, sm_tp)
+        # self.cfg marks the weight-tree layout for OUTSIDE consumers (the
+        # embed/classify Engine shares self.params): fused_tp>1 says fused
+        # rows are shard-interleaved and q4k wo/w2 are chunk-repacked
+        # (nn.layers handles both given the marker)
+        if sm_tp > 1:
+            from dataclasses import replace as _dc_replace
+
+            cfg = _dc_replace(cfg, fused_tp=sm_tp)
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.n_slots = n_slots
@@ -271,6 +326,10 @@ class BatchScheduler:
         )
         self._step_ms: float | None = None
         self._last_drain: float | None = None
+        # eviction epoch: a suspend/offload inside a drain interval would
+        # pollute the step-time EWMA (ADVICE r4) — such samples are skipped
+        self._evictions = 0
+        self._drain_evictions = 0
 
         # attn_window (static, bucketed) bounds how many page-table columns
         # the attention gather touches; without it every prefill chunk reads
@@ -289,26 +348,24 @@ class BatchScheduler:
                 return [PagedKVState(c.k_pool, c.v_pool) for c in cache]
             return cache[0]
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnums=(5,))
-        def _prefill(params, state, tokens, positions, pt, attn_window):
+        def _prefill_body(params, state, tokens, positions, pt, attn_window,
+                          cfg_):
             _, cache = forward_hidden(
-                params, cfg, tokens, positions, _wrap(state, pt),
+                params, cfg_, tokens, positions, _wrap(state, pt),
                 dtype=compute_dtype, attn_window=attn_window,
             )
             return _unwrap(cache)
 
-        @partial(
-            jax.jit, donate_argnums=(1, 10), static_argnums=(11, 12, 13, 16)
-        )
-        def _decode(params, state, tokens, positions, pts,
-                    seeds, steps, temps, top_ps, top_ks, counts, all_top_p_one,
-                    all_top_k_zero, use_penalties, pres_pens, freq_pens,
-                    attn_window):
+        def _decode_body(params, state, tokens, positions, pts,
+                         seeds, steps, temps, top_ps, top_ks, counts,
+                         pres_pens, freq_pens, *, all_top_p_one,
+                         all_top_k_zero, use_penalties, attn_window, cfg_,
+                         pin_replicated):
             hidden, cache = forward_hidden(
-                params, cfg, tokens, positions, _wrap(state, pts),
+                params, cfg_, tokens, positions, _wrap(state, pts),
                 dtype=compute_dtype, attn_window=attn_window,
             )
-            logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
+            logits = lm_logits(params, cfg_, hidden[:, -1:, :])[:, 0]
             if use_penalties:
                 # OpenAI presence/frequency penalties over generated tokens
                 cf = counts.astype(jnp.float32)
@@ -329,7 +386,7 @@ class BatchScheduler:
             )
             if use_penalties:
                 counts = counts.at[jnp.arange(counts.shape[0]), toks].add(1)
-            if mesh is not None:
+            if pin_replicated and mesh is not None:
                 # pin the sampled tokens fully-replicated so every process
                 # (and the host fetch) reads the same complete array
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -338,6 +395,100 @@ class BatchScheduler:
                     toks, NamedSharding(mesh, P())
                 )
             return toks, _unwrap(cache), counts
+
+        if self._sm is None:
+            @partial(jax.jit, donate_argnums=(1,), static_argnums=(5,))
+            def _prefill(params, state, tokens, positions, pt, attn_window):
+                return _prefill_body(
+                    params, state, tokens, positions, pt, attn_window, cfg
+                )
+
+            @partial(
+                jax.jit, donate_argnums=(1, 10),
+                static_argnums=(11, 12, 13, 16),
+            )
+            def _decode(params, state, tokens, positions, pts,
+                        seeds, steps, temps, top_ps, top_ks, counts,
+                        all_top_p_one, all_top_k_zero, use_penalties,
+                        pres_pens, freq_pens, attn_window):
+                return _decode_body(
+                    params, state, tokens, positions, pts, seeds, steps,
+                    temps, top_ps, top_ks, counts, pres_pens, freq_pens,
+                    all_top_p_one=all_top_p_one,
+                    all_top_k_zero=all_top_k_zero,
+                    use_penalties=use_penalties, attn_window=attn_window,
+                    cfg_=cfg, pin_replicated=True,
+                )
+        else:
+            # shard_map tp forward: every device runs the SAME program on its
+            # LOCAL weight/KV shard — the Pallas q4k/attention kernels read
+            # 1/tp of the bytes, with explicit psum at the reference's
+            # combine points (parallel/tp_forward.py). Page tables, token
+            # ids and sampling params are replicated; the sampled tokens are
+            # identical on every device (logits are all_gather'd), so the
+            # outputs use a replicated spec.
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel import tp_forward as _tpf
+
+            sm_ctx = self._sm
+            sm_cfg = self._sm_cfg
+            pspecs = self._sm_pspecs
+            rep = P()
+
+            def _kv_leaf_spec(a):
+                # stacked pools [L, n_kv, np, ps, X] / unrolled [n_kv, ...]:
+                # KV heads ride tp (KvBufferCache.java:105-110 per-shard
+                # kv segment)
+                return P(*([None] * (a.ndim - 4)), "tp", None, None, None)
+
+            state_spec = jax.tree.map(_kv_leaf_spec, self.kv.state)
+            smap = jax.shard_map
+
+            @partial(jax.jit, donate_argnums=(1,), static_argnums=(5,))
+            def _prefill(params, state, tokens, positions, pt, attn_window):
+                def body(params, state, tokens, positions, pt):
+                    with _tpf.spmd_context(sm_ctx):
+                        _tpf.record_trace_shapes(params)
+                        return _prefill_body(
+                            params, state, tokens, positions, pt,
+                            attn_window, sm_cfg,
+                        )
+
+                return smap(
+                    body, mesh=mesh,
+                    in_specs=(pspecs, state_spec, rep, rep, rep),
+                    out_specs=state_spec, check_vma=False,
+                )(params, state, tokens, positions, pt)
+
+            @partial(
+                jax.jit, donate_argnums=(1, 10),
+                static_argnums=(11, 12, 13, 16),
+            )
+            def _decode(params, state, tokens, positions, pts,
+                        seeds, steps, temps, top_ps, top_ks, counts,
+                        all_top_p_one, all_top_k_zero, use_penalties,
+                        pres_pens, freq_pens, attn_window):
+                def body(params, state, tokens, positions, pts, seeds, steps,
+                         temps, top_ps, top_ks, counts, pres_pens, freq_pens):
+                    with _tpf.spmd_context(sm_ctx):
+                        _tpf.record_trace_shapes(params)
+                        return _decode_body(
+                            params, state, tokens, positions, pts, seeds,
+                            steps, temps, top_ps, top_ks, counts, pres_pens,
+                            freq_pens, all_top_p_one=all_top_p_one,
+                            all_top_k_zero=all_top_k_zero,
+                            use_penalties=use_penalties,
+                            attn_window=attn_window, cfg_=sm_cfg,
+                            pin_replicated=False,
+                        )
+
+                return smap(
+                    body, mesh=mesh,
+                    in_specs=(pspecs, state_spec) + (rep,) * 11,
+                    out_specs=(rep, state_spec, rep), check_vma=False,
+                )(params, state, tokens, positions, pts, seeds, steps,
+                  temps, top_ps, top_ks, counts, pres_pens, freq_pens)
 
         self._prefill = _prefill
         self._decode = _decode
@@ -625,6 +776,7 @@ class BatchScheduler:
         to host RAM. Returns True if something was evicted."""
         for sid in self._idle_sessions_lru():
             if self.suspend_session(sid):
+                self._evictions += 1
                 return True
         return False
 
@@ -1049,8 +1201,13 @@ class BatchScheduler:
             return None
         ps = self.kv.page_size
         # the next window may be shallower than the in-flight one when a
-        # latency budget is set and the measured step time moved
-        depth_next = self._budget_lag(depth)
+        # latency budget is set and the measured step time moved. Budget from
+        # the CONFIGURED lag (not the in-flight depth) so a ratcheted-down
+        # depth can recover upward when the step time improves (ADVICE r4)
+        lag = self.decode_lag
+        if any(r.on_token is not None for r in running):
+            lag = min(lag, self.stream_lag)
+        depth_next = self._budget_lag(lag)
         # host-side positions lag by the in-flight window's `depth` tokens
         head = min(
             min(r.max_new_tokens - len(r.out_ids) for r in running),
@@ -1093,20 +1250,29 @@ class BatchScheduler:
         if self.itl_budget_ms is None or not self._step_ms:
             return max(1, lag)
         lo = 2 if self.decode_lag > 1 else 1
-        return max(lo, min(lag, int(self.itl_budget_ms / self._step_ms)))
+        # the floor applies to the BUDGET, never raising depth above the
+        # explicitly requested lag (JLAMA_STREAM_LAG=1 must stay 1)
+        return min(max(1, lag), max(lo, int(self.itl_budget_ms / self._step_ms)))
 
     def _drain_window(self, und) -> None:
         running, toks_windows, depth = und
         self._apply_sampled(running, [self._fetch(t) for t in toks_windows])
         # EWMA of per-step time from drain spacing; only back-to-back
-        # chained drains are a valid sample (idle gaps would inflate it)
+        # chained drains are a valid sample (idle gaps would inflate it),
+        # and an interval containing a session eviction/suspend (a full page
+        # gather + host transfer) is skipped — it measures the offload, not
+        # the step (ADVICE r4)
         now = time.perf_counter()
-        if self._last_drain is not None:
+        if (
+            self._last_drain is not None
+            and self._evictions == self._drain_evictions
+        ):
             ms = (now - self._last_drain) * 1000.0 / max(1, depth)
             self._step_ms = (
                 ms if self._step_ms is None
                 else 0.8 * self._step_ms + 0.2 * ms
             )
+        self._drain_evictions = self._evictions
         self._last_drain = now if self._undrained is not None else None
 
     def step(self) -> int:

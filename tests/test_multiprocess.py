@@ -250,7 +250,7 @@ sched = BatchScheduler(
 )
 from jlama_tpu.runtime.engine import Engine
 sched.embed_engine = Engine(
-    sched.params, cfg, tokenizer, max_seq_len=96, kv_dtype=jnp.float32,
+    sched.params, sched.cfg, tokenizer, max_seq_len=96, kv_dtype=jnp.float32,
     compute_dtype=jnp.float32, mesh=None, fuse=False, moe_ragged=False,
     step_channel=chan, input_mesh=mesh,
 )
