@@ -58,7 +58,10 @@ def plan_mesh_axes(
     - pp (layer sharding) only when tp alone cannot fit the weights in
       per-chip HBM (minus a KV-page reserve): smallest stage count that fits
       and divides n_layers.
-    - dp absorbs the remaining devices (continuous-batching throughput).
+    - dp absorbs the remaining devices: the shard_map serving path shards
+      batch slots + the KV page pool over dp (runtime/scheduler.py), so dp
+      devices serve disjoint slices of the continuous batch — beyond the
+      reference, which has no DP at all (SURVEY §2.6).
     """
     if n_devices < 1:
         raise ValueError("need at least one device")

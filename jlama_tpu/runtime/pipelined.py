@@ -48,7 +48,7 @@ class _DenseAlloc:
     def __init__(self, max_seq: int):
         self.max_seq = max_seq
 
-    def ensure_capacity(self, seq_id, n_tokens, page_size):
+    def ensure_capacity(self, seq_id, n_tokens, page_size, group=0):
         if n_tokens > self.max_seq:
             raise MemoryError("sequence exceeds dense KV row")
         return []

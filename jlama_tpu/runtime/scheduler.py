@@ -148,6 +148,7 @@ class BatchScheduler:
         self._sm_pspecs = None
         self._sm_cfg = cfg
         sm_tp = 1
+        sm_dp = 1  # dp>1: batch slots + KV pages shard over the dp axis
         if mesh is not None and weight_format != "q4s":
             import os as _os_sm
 
@@ -161,11 +162,16 @@ class BatchScheduler:
             )
             if (
                 _os_sm.environ.get("JLAMA_SHARD_MAP", "1") != "0"
-                and mesh.shape.get("dp", 1) == 1
-                and mesh.shape.get("tp", 1) > 1
+                and (
+                    mesh.shape.get("tp", 1) > 1 or mesh.shape.get("dp", 1) > 1
+                )
+                and n_pages % mesh.shape.get("dp", 1) == 0
                 and can_shard_map(cfg, mesh, n_slots, quantized=quantized)
             ):
                 sm_tp = mesh.shape["tp"]
+                sm_dp = mesh.shape["dp"]
+        self._sm_dp = sm_dp
+        self._spg = n_slots // sm_dp  # slots per dp group
         if fuse:
             from ..models.base import fuse_params
 
@@ -210,7 +216,7 @@ class BatchScheduler:
 
             params = unstack_params(params, cfg)
         self.params = params
-        if sm_tp > 1:
+        if sm_tp > 1 or sm_dp > 1:
             from ..parallel import tp_forward as _tpf
             from ..parallel.mesh import param_pspecs
 
@@ -223,7 +229,9 @@ class BatchScheduler:
                     "for shard_map, which the GSPMD fallback cannot use); "
                     "set JLAMA_SHARD_MAP=0 to force the GSPMD path"
                 )
-            self._sm = _tpf.SpmdCtx("tp", None, embed_sh, lm_sh)
+            self._sm = _tpf.SpmdCtx(
+                "tp", "dp" if sm_dp > 1 else None, embed_sh, lm_sh
+            )
             self._sm_pspecs = pspecs
             self._sm_cfg = _tpf.localize_cfg(cfg, sm_tp)
         # self.cfg marks the weight-tree layout for OUTSIDE consumers (the
@@ -245,14 +253,20 @@ class BatchScheduler:
             page_size=page_size,
             max_pages_per_seq=-(-max_seq // page_size),
             dtype=kv_dtype,
+            groups=sm_dp,
         )
         if mesh is not None:
             # pool [L, n_kv, n_pages, ps, hd]: KV heads ride the tp axis
             # (each TP shard stores only its KV-head slice,
-            # cf. KvBufferCache.java:105-110)
+            # cf. KvBufferCache.java:105-110); under the shard_map dp path
+            # the PAGE axis shards over dp — each dp group holds only its
+            # own sequences' pages (allocator group ranges)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            s = NamedSharding(mesh, P(None, "tp", None, None, None))
+            s = NamedSharding(
+                mesh,
+                P(None, "tp", "dp" if sm_dp > 1 else None, None, None),
+            )
             self.kv.state = jax.tree.map(
                 lambda a: self._global_put(a, s), self.kv.state
             )
@@ -435,12 +449,29 @@ class BatchScheduler:
             sm_cfg = self._sm_cfg
             pspecs = self._sm_pspecs
             rep = P()
+            sm_dp_n = self._sm_dp
+            dp_ax = "dp" if sm_dp_n > 1 else None
+            row = P(dp_ax) if dp_ax else rep          # [B] per-row arrays
+            row2 = P(dp_ax, None) if dp_ax else rep   # [B, 1]/[B, P] arrays
+            npl = n_pages // sm_dp_n
+
+            def _localize_pt(pt):
+                # dp: page-table entries are GLOBAL page ids from the
+                # group's allocator range; each dp shard subtracts its range
+                # offset so they index its local pool slice (the group's
+                # scratch page g*npl maps to local 0)
+                if dp_ax is None:
+                    return pt
+                return pt - jax.lax.axis_index(dp_ax) * npl
 
             def _kv_leaf_spec(a):
                 # stacked pools [L, n_kv, np, ps, X] / unrolled [n_kv, ...]:
                 # KV heads ride tp (KvBufferCache.java:105-110 per-shard
-                # kv segment)
-                return P(*([None] * (a.ndim - 4)), "tp", None, None, None)
+                # kv segment); the page axis rides dp (each dp group's
+                # sequences allocate only from its page range)
+                return P(
+                    *([None] * (a.ndim - 4)), "tp", dp_ax, None, None
+                )
 
             state_spec = jax.tree.map(_kv_leaf_spec, self.kv.state)
             smap = jax.shard_map
@@ -451,13 +482,13 @@ class BatchScheduler:
                     with _tpf.spmd_context(sm_ctx):
                         _tpf.record_trace_shapes(params)
                         return _prefill_body(
-                            params, state, tokens, positions, pt,
-                            attn_window, sm_cfg,
+                            params, state, tokens, positions,
+                            _localize_pt(pt), attn_window, sm_cfg,
                         )
 
                 return smap(
                     body, mesh=mesh,
-                    in_specs=(pspecs, state_spec, rep, rep, rep),
+                    in_specs=(pspecs, state_spec, row2, row2, row2),
                     out_specs=state_spec, check_vma=False,
                 )(params, state, tokens, positions, pt)
 
@@ -473,8 +504,14 @@ class BatchScheduler:
                          temps, top_ps, top_ks, counts, pres_pens, freq_pens):
                     with _tpf.spmd_context(sm_ctx):
                         _tpf.record_trace_shapes(params)
-                        return _decode_body(
-                            params, state, tokens, positions, pts, seeds,
+                        # per-device batch rows / pool slice (dp assertions)
+                        _tpf.TRACE_SHAPES["__rows__"] = tokens.shape[0]
+                        _tpf.TRACE_SHAPES["__pool__"] = tuple(
+                            jax.tree.leaves(state)[0].shape
+                        )
+                        toks, st, cnts = _decode_body(
+                            params, state, tokens, positions,
+                            _localize_pt(pts), seeds,
                             steps, temps, top_ps, top_ks, counts, pres_pens,
                             freq_pens, all_top_p_one=all_top_p_one,
                             all_top_k_zero=all_top_k_zero,
@@ -482,11 +519,18 @@ class BatchScheduler:
                             attn_window=attn_window, cfg_=sm_cfg,
                             pin_replicated=False,
                         )
+                    if dp_ax is not None:
+                        # each dp shard sampled its own rows: assemble the
+                        # full [B] token vector on every device
+                        toks = jax.lax.all_gather(toks, dp_ax, axis=0,
+                                                  tiled=True)
+                    return toks, st, cnts
 
                 return smap(
                     body, mesh=mesh,
-                    in_specs=(pspecs, state_spec) + (rep,) * 11,
-                    out_specs=(rep, state_spec, rep), check_vma=False,
+                    in_specs=(pspecs, state_spec, row2, row2, row2, row,
+                              row, row, row, row, row2, row, row),
+                    out_specs=(rep, state_spec, row2), check_vma=False,
                 )(params, state, tokens, positions, pts, seeds, steps,
                   temps, top_ps, top_ks, counts, pres_pens, freq_pens)
 
@@ -641,9 +685,9 @@ class BatchScheduler:
                 payload = self._suspend_pages(
                     msg["sid"], msg["idxs"], msg["dir"]
                 )
-                self._suspended[msg["sid"]] = (payload, None)
+                self._suspended[msg["sid"]] = (payload, None, 0)
             elif op == "resume":
-                payload, _ = self._suspended.pop(msg["sid"])
+                payload = self._suspended.pop(msg["sid"])[0]
                 self._restore_pages(msg["sid"], payload, msg["idxs"])
             elif op == "sdrop":
                 self._suspended.pop(msg["sid"], None)
@@ -694,18 +738,24 @@ class BatchScheduler:
             prefill_windows if prefill_windows is not None else wins
         )
         B = self.n_slots
+        dp = self._sm_dp
         if prefill_rows is None:
+            # dp: prefill row counts come in dp-blocks (see _advance_prefill)
             prefill_rows, r = [], 1
-            while r <= B:
-                prefill_rows.append(r)
+            while r <= (self._spg if dp > 1 else B):
+                prefill_rows.append(r * (dp if dp > 1 else 1))
                 r *= 2
         zeros = lambda *s: np.zeros(s, np.int32)  # noqa: E731
+        # dummy tables point at each row's group scratch page
+        dec_pt = self.kv.page_table(
+            ["__empty__"] * B, groups=self._slot_groups()
+        )
         for win in decode_windows:
             if self._chan is not None and self._is_leader:
                 self._chan.publish(
                     {"op": "decode", "tokens": zeros(B, 1),
                      "positions": zeros(B, 1),
-                     "pts": zeros(B, self.kv.max_pages_per_seq),
+                     "pts": dec_pt,
                      "seeds": zeros(B), "steps": zeros(B),
                      "temps": np.zeros(B, np.float32),
                      "top_ps": np.ones(B, np.float32), "top_ks": zeros(B),
@@ -715,13 +765,19 @@ class BatchScheduler:
                      "depth": 1}
                 )
             self._run_decode_window(
-                zeros(B, 1), zeros(B, 1), zeros(B, self.kv.max_pages_per_seq),
+                zeros(B, 1), zeros(B, 1), dec_pt,
                 zeros(B), zeros(B), np.zeros(B, np.float32),
                 np.ones(B, np.float32), zeros(B), np.zeros(B, np.float32),
                 np.zeros(B, np.float32), True, True, False, win, 1,
             )
         chunk = self.prefill_chunk
         for rows in prefill_rows:
+            row_groups = (
+                [i // (rows // dp) for i in range(rows)] if dp > 1 else None
+            )
+            pf_pt = self.kv.page_table(
+                ["__empty__"] * rows, groups=row_groups
+            )
             for win in prefill_windows:
                 if win < chunk:
                     continue
@@ -729,9 +785,7 @@ class BatchScheduler:
                 pos = np.broadcast_to(
                     np.arange(chunk, dtype=np.int32), (rows, chunk)
                 ).copy()
-                self._call_prefill(
-                    toks, pos, zeros(rows, self.kv.max_pages_per_seq), win
-                )
+                self._call_prefill(toks, pos, pf_pt, win)
 
     def submit(self, req: GenRequest) -> GenRequest:
         req.t_start = time.perf_counter()
@@ -780,23 +834,31 @@ class BatchScheduler:
                 return True
         return False
 
-    def _ensure_capacity_evicting(self, key: str, upto: int, ps: int) -> bool:
+    def _ensure_capacity_evicting(
+        self, key: str, upto: int, ps: int, group: int = 0
+    ) -> bool:
         while True:
             try:
-                self.kv.alloc.ensure_capacity(key, upto, ps)
+                self.kv.alloc.ensure_capacity(key, upto, ps, group=group)
                 return True
             except MemoryError:
                 if not self._evict_for_pages():
                     return False
 
+    def _slot_groups(self) -> list[int] | None:
+        """Per-slot dp group (page-table scratch selection); None when dp=1."""
+        if self._sm_dp <= 1:
+            return None
+        return [s // self._spg for s in range(self.n_slots)]
+
     def _admit(self) -> None:
-        for i in range(self.n_slots):
-            if self.slots[i] is not None:
-                continue
+        free = [i for i in range(self.n_slots) if self.slots[i] is None]
+        deferred: list[GenRequest] = []
+        while free:
             try:
                 req = self.pending.get_nowait()
             except queue.Empty:
-                return
+                break
 
             # session resume: prepend the pending (sampled-but-unforwarded)
             # token and continue from the stored position
@@ -819,9 +881,27 @@ class BatchScheduler:
                 continue
             ps = self.kv.page_size
             key = self._kv_key(req)
-            if not self._ensure_capacity_evicting(key, start_pos + n, ps):
-                self.pending.put(req)  # retry when pages free up
-                return
+            # dp: a session with live pages is pinned to the dp group that
+            # owns its page range — only slots of that group may serve it
+            want_g = (
+                self.kv.alloc.group_of.get(key) if self._sm_dp > 1 else None
+            )
+            slot = next(
+                (
+                    s for s in free
+                    if want_g is None or s // self._spg == want_g
+                ),
+                None,
+            )
+            if slot is None:
+                deferred.append(req)  # right-group slots busy; retry later
+                continue
+            group = slot // self._spg if self._sm_dp > 1 else 0
+            if not self._ensure_capacity_evicting(
+                key, start_pos + n, ps, group
+            ):
+                deferred.append(req)  # retry when pages free up
+                break
             if req.seed is None:
                 # unseeded requests still get a fixed per-request stream so
                 # batch composition never perturbs their samples
@@ -833,11 +913,14 @@ class BatchScheduler:
             req._pf_ids = prompt_ids
             req._pf_done = 0
             req.position = start_pos
-            req.slot = i
+            req.slot = slot
             req.state = RequestState.PREFILLING
-            self.slots[i] = req
+            self.slots[slot] = req
+            free.remove(slot)
             if req.presence_penalty or req.frequency_penalty:
-                self._counts_reset(i)
+                self._counts_reset(slot)
+        for r in deferred:
+            self.pending.put(r)
 
     def _advance_prefill(self) -> None:
         """Run at most ONE prefill call per iteration — but batched across
@@ -873,29 +956,57 @@ class BatchScheduler:
         batch = []
         for req, rem in fit:
             take = min(rem, bucket)
+            g = req.slot // self._spg if self._sm_dp > 1 else 0
             if self._ensure_capacity_evicting(
-                self._kv_key(req), req.position + take, ps
+                self._kv_key(req), req.position + take, ps, g
             ):
                 batch.append((req, take))
             # rows without page capacity sit this call out; retried next step
         if not batch:
             return
-        # row count rides power-of-two buckets so (rows, chunk, window)
-        # compile variants stay bounded; pad rows run the scratch page
-        rows = 1
-        while rows < len(batch):
-            rows *= 2
-        toks = np.zeros((rows, bucket), dtype=np.int32)
-        pos = np.zeros((rows, bucket), dtype=np.int32)
-        seq_ids = ["__empty__"] * rows
-        win = 0
-        for i, (req, take) in enumerate(batch):
-            ids = req._pf_ids
-            toks[i, :take] = ids[req._pf_done : req._pf_done + take]
-            pos[i] = np.arange(req.position, req.position + bucket)
-            seq_ids[i] = self._kv_key(req)
-            win = max(win, _bucket(req.position + bucket))
-        pt = self.kv.page_table(seq_ids)
+        if self._sm_dp > 1:
+            # dp: prefill rows are laid out in dp blocks (row spec P('dp')),
+            # so each dp shard prefills only its own group's requests; pad
+            # rows of block g run that group's scratch page
+            dp = self._sm_dp
+            by_g: dict[int, list] = {}
+            for req, take in batch:
+                by_g.setdefault(req.slot // self._spg, []).append((req, take))
+            rpg = 1
+            while rpg < max(len(v) for v in by_g.values()):
+                rpg *= 2
+            rows = dp * rpg
+            toks = np.zeros((rows, bucket), dtype=np.int32)
+            pos = np.zeros((rows, bucket), dtype=np.int32)
+            seq_ids = ["__empty__"] * rows
+            groups = [r // rpg for r in range(rows)]
+            win = 0
+            for g, items in by_g.items():
+                for j, (req, take) in enumerate(items):
+                    r = g * rpg + j
+                    ids = req._pf_ids
+                    toks[r, :take] = ids[req._pf_done : req._pf_done + take]
+                    pos[r] = np.arange(req.position, req.position + bucket)
+                    seq_ids[r] = self._kv_key(req)
+                    win = max(win, _bucket(req.position + bucket))
+            pt = self.kv.page_table(seq_ids, groups=groups)
+        else:
+            # row count rides power-of-two buckets so (rows, chunk, window)
+            # compile variants stay bounded; pad rows run the scratch page
+            rows = 1
+            while rows < len(batch):
+                rows *= 2
+            toks = np.zeros((rows, bucket), dtype=np.int32)
+            pos = np.zeros((rows, bucket), dtype=np.int32)
+            seq_ids = ["__empty__"] * rows
+            win = 0
+            for i, (req, take) in enumerate(batch):
+                ids = req._pf_ids
+                toks[i, :take] = ids[req._pf_done : req._pf_done + take]
+                pos[i] = np.arange(req.position, req.position + bucket)
+                seq_ids[i] = self._kv_key(req)
+                win = max(win, _bucket(req.position + bucket))
+            pt = self.kv.page_table(seq_ids)
         win = min(win, self.kv.max_pages_per_seq * ps)
         self._call_prefill(toks, pos, pt, win)
         for req, take in batch:
@@ -995,7 +1106,14 @@ class BatchScheduler:
                  "dir": to_dir}
             )
         payload = self._suspend_pages(session_id, idxs_np, to_dir)
-        self._suspended[session_id] = (payload, self.session_state[session_id])
+        # record the session's dp group BEFORE release pops it: a resume
+        # must re-allocate pages from the same group range (its batch rows
+        # live on that dp shard)
+        self._suspended[session_id] = (
+            payload,
+            self.session_state[session_id],
+            self.kv.alloc.group_of.get(session_id, 0),
+        )
         self.kv.alloc.release(session_id)
         self.session_state.pop(session_id)
         return True
@@ -1095,10 +1213,12 @@ class BatchScheduler:
     def resume_session(self, session_id: str) -> bool:
         if session_id not in self._suspended:
             return False
-        payload, state = self._suspended[session_id]
+        payload, state, group = self._suspended[session_id]
         n_pages = self._payload_pages(session_id, payload)
         ps = self.kv.page_size
-        pages = self.kv.alloc.ensure_capacity(session_id, n_pages * ps, ps)
+        pages = self.kv.alloc.ensure_capacity(
+            session_id, n_pages * ps, ps, group=group
+        )
         idxs_np = np.asarray(pages, dtype=np.int32)
         if self._chan is not None and self._is_leader:
             self._chan.publish(
@@ -1217,7 +1337,8 @@ class BatchScheduler:
             return None
         for r in running:
             if not self._ensure_capacity_evicting(
-                self._kv_key(r), r.position + depth + depth_next, ps
+                self._kv_key(r), r.position + depth + depth_next, ps,
+                r.slot // self._spg if self._sm_dp > 1 else 0,
             ):
                 return None
         win = min(
@@ -1229,7 +1350,7 @@ class BatchScheduler:
         seq_ids = ["__empty__"] * self.n_slots
         for r in running:
             seq_ids[r.slot] = self._kv_key(r)
-        pts = self.kv.page_table(seq_ids)
+        pts = self.kv.page_table(seq_ids, groups=self._slot_groups())
         if self._chan is not None and self._is_leader:
             self._chan.publish(
                 {"op": "decode_chain", "depth": int(depth_next),
@@ -1314,7 +1435,10 @@ class BatchScheduler:
         for r in list(running):
             # make sure the page holding `position` exists before the write
             key = self._kv_key(r)
-            if not self._ensure_capacity_evicting(key, r.position + 1, ps):
+            if not self._ensure_capacity_evicting(
+                key, r.position + 1, ps,
+                r.slot // self._spg if self._sm_dp > 1 else 0,
+            ):
                 # out of pages even after eviction: this row sits the step
                 # out (its slot runs the dummy sequence on the scratch page)
                 stalled.append(r)
@@ -1357,12 +1481,13 @@ class BatchScheduler:
             depth = max(1, min(self._budget_lag(lag), head))
             for r in running:
                 if not self._ensure_capacity_evicting(
-                    self._kv_key(r), r.position + depth, ps
+                    self._kv_key(r), r.position + depth, ps,
+                    r.slot // self._spg if self._sm_dp > 1 else 0,
                 ):
                     depth = 1
                     break
 
-        pts = self.kv.page_table(seq_ids)
+        pts = self.kv.page_table(seq_ids, groups=self._slot_groups())
         win = min(
             _bucket(int(positions.max()) + depth),
             self.kv.max_pages_per_seq * ps,

@@ -48,8 +48,9 @@ def _mk_sched(params, cfg, mesh=None, **kw):
     if mesh is not None:
         params = shard_params(params, cfg, mesh)
     kw.setdefault("kv_dtype", jnp.float32)
+    kw.setdefault("n_slots", 2)
     return BatchScheduler(
-        params, cfg, n_slots=2, n_pages=32, page_size=8, max_seq_len=48,
+        params, cfg, n_pages=32, page_size=8, max_seq_len=48,
         compute_dtype=jnp.float32, mesh=mesh, **kw
     )
 
@@ -190,6 +191,88 @@ def test_outside_consumer_of_shard_map_tree(tiny, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3
     )
+
+
+def test_dp_sharded_batch_parity(tiny):
+    """dp>1: batch slots and the KV page pool shard over the dp axis —
+    each dp shard decodes only its own rows/pages (capability the reference
+    lacks entirely, SURVEY §2.6 'DP — NO'). Token parity with dp=1."""
+    params, cfg = tiny
+    from jlama_tpu.parallel.mesh import make_mesh
+    from jlama_tpu.parallel import tp_forward
+    from jlama_tpu.runtime.scheduler import GenRequest
+
+    def run(mesh, n_slots=4):
+        s = _mk_sched(params, cfg, mesh=mesh, n_slots=n_slots)
+        reqs = [
+            GenRequest(prompt_ids=[1 + i, 5, 9 + i], max_new_tokens=5,
+                       temperature=0.0)
+            for i in range(4)
+        ]
+        for r in reqs:
+            s.submit(r)
+        while any(r.state.value != "DONE" for r in reqs):
+            s.step()
+        return [r.out_ids for r in reqs], s
+
+    ref, _ = run(None)
+    mesh = make_mesh(jax.devices()[:2], dp=2, pp=1, tp=1)
+    got, sched = run(mesh)
+    assert sched._sm is not None and sched._sm.dp_axis == "dp"
+    assert got == ref
+    # each dp shard ran half the batch against half the page pool
+    assert tp_forward.TRACE_SHAPES["__rows__"] == 2
+    assert tp_forward.TRACE_SHAPES["__pool__"][2] == sched.kv.n_pages // 2
+
+
+def test_dp_tp_combined_q4k(tiny, monkeypatch):
+    """dp=2 x tp=2 on 4 devices with q4k kernel weights: rows AND weights
+    both sharded; parity with the unsharded scheduler."""
+    monkeypatch.setenv("JLAMA_PALLAS_INTERPRET", "1")
+    params, cfg = tiny
+    qparams = _quantize_layers(params)
+    from jlama_tpu.parallel.mesh import make_mesh
+    from jlama_tpu.parallel import tp_forward
+
+    ref_s = _mk_sched(qparams, cfg, weight_format="q4k", n_slots=4)
+    ref = [
+        ref_s.generate([1, 5, 9 + i], max_new_tokens=4, temperature=0.0).token_ids
+        for i in range(2)
+    ]
+    mesh = make_mesh(jax.devices()[:4], dp=2, pp=1, tp=2)
+    s = _mk_sched(qparams, cfg, mesh=mesh, weight_format="q4k", n_slots=4)
+    assert s._sm is not None and s._sm.dp_axis == "dp"
+    got = [
+        s.generate([1, 5, 9 + i], max_new_tokens=4, temperature=0.0).token_ids
+        for i in range(2)
+    ]
+    assert got == ref
+    assert tp_forward.TRACE_SHAPES["__rows__"] == 2  # 4 slots / dp=2
+    assert tp_forward.TRACE_SHAPES["__pool__"][1] == cfg.n_kv_heads // 2
+
+
+def test_dp_sessions_pinned_to_group(tiny):
+    """A session's pages live in one dp group; resumed requests land on a
+    slot of that group and continue correctly."""
+    params, cfg = tiny
+    from jlama_tpu.parallel.mesh import make_mesh
+
+    def run(mesh):
+        s = _mk_sched(params, cfg, mesh=mesh, n_slots=4)
+        r1 = s.generate([1, 5, 9], max_new_tokens=3, temperature=0.0,
+                        session_id="s1")
+        r2 = s.generate([2, 6], max_new_tokens=3, temperature=0.0,
+                        session_id="s2")
+        # resume both sessions
+        r3 = s.generate([7], max_new_tokens=3, temperature=0.0,
+                        session_id="s1")
+        r4 = s.generate([8], max_new_tokens=3, temperature=0.0,
+                        session_id="s2")
+        return [r.token_ids for r in (r1, r2, r3, r4)]
+
+    ref = run(None)
+    mesh = make_mesh(jax.devices()[:2], dp=2, pp=1, tp=1)
+    assert run(mesh) == ref
 
 
 def test_interleaved_fuse_matches_plain_globally(tiny):
