@@ -233,9 +233,12 @@ def cmd_serve(args) -> None:
     if (
         mesh is not None
         and mesh.shape["pp"] > 1
-        and jax.process_count() == 1
         and not args.no_pp_pipeline
     ):
+        # multi-host: every process builds the same PipelinedScheduler; tick
+        # windows broadcast over the step channel ("ptick") and followers
+        # replay them in run_follower — the ring spans processes just like
+        # the reference's gRPC worker ring (JlamaService.proto:85-87)
         # decode through the pp ring (ppermute microbatching) instead of
         # serializing over the layer-sharded weights — the reference's
         # worker ring IS its serving path (Worker.java:226-248)
@@ -249,8 +252,9 @@ def cmd_serve(args) -> None:
               f"({slots // mesh.shape['pp']} rows/microbatch)")
         sched = PipelinedScheduler(
             params, cfg, tokenizer, mesh=mesh, n_slots=slots,
+            n_pages=args.kv_pages, page_size=args.page_size,
             max_seq_len=args.context, kv_dtype=kv_dtype,
-            weight_format=wfmt,
+            weight_format=wfmt, step_channel=step_channel,
         )
         if args.itl_budget_ms:
             # the pp PipelinedScheduler has no async window depth to budget

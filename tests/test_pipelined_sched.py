@@ -25,9 +25,10 @@ def setup(tmp_path_factory):
 def _ref_sched(params, cfg, **kw):
     from jlama_tpu.runtime.scheduler import BatchScheduler
 
+    kw.setdefault("kv_dtype", jnp.float32)
     return BatchScheduler(
         params, cfg, n_slots=4, n_pages=64, page_size=8, max_seq_len=64,
-        kv_dtype=jnp.float32, compute_dtype=jnp.float32, **kw,
+        compute_dtype=jnp.float32, **kw,
     )
 
 
@@ -36,9 +37,10 @@ def _pipe_sched(params, cfg, **kw):
     from jlama_tpu.runtime.pipelined import PipelinedScheduler
 
     mesh = make_mesh(jax.devices(), dp=2, pp=2, tp=2)
+    kw.setdefault("kv_dtype", jnp.float32)
     return PipelinedScheduler(
-        params, cfg, mesh=mesh, n_slots=4, max_seq_len=64,
-        kv_dtype=jnp.float32, compute_dtype=jnp.float32, **kw,
+        params, cfg, mesh=mesh, n_slots=4, n_pages=64, page_size=8,
+        max_seq_len=64, compute_dtype=jnp.float32, **kw,
     )
 
 
@@ -87,11 +89,51 @@ def test_pipelined_sampled_parity(setup):
     assert got.token_ids == want.token_ids
 
 
-def test_pipelined_rejects_sessions(setup):
+def test_pipelined_sessions_resume(setup):
+    """Sessions work through the pp ring: the paged pool's layer axis is
+    stage-sharded and the host allocator keeps the pages across requests
+    (VERDICT r4 #6 — the dense slot-bound design rejected sessions)."""
     params, cfg = setup
-    pipe = _pipe_sched(params, cfg)
-    from jlama_tpu.runtime.engine import FinishReason
 
-    resp = pipe.generate([1, 2, 3], max_new_tokens=4, session_id="s1")
-    assert resp.finish_reason == FinishReason.ERROR
-    assert "session" in (resp.error or "")
+    def run(mk):
+        s = mk(params, cfg)
+        r1 = s.generate([1, 5, 9], max_new_tokens=4, temperature=0.0,
+                        session_id="sess")
+        r2 = s.generate([42, 7], max_new_tokens=4, temperature=0.0,
+                        session_id="sess")
+        return r1.token_ids, r2.token_ids
+
+    assert run(_pipe_sched) == run(_ref_sched)
+
+
+def test_pipelined_session_suspend_resume(setup):
+    """Suspend-to-host + resume round-trips the stage-sharded pages."""
+    params, cfg = setup
+    ref = _ref_sched(params, cfg)
+    pipe = _pipe_sched(params, cfg)
+    for s in (ref, pipe):
+        s.generate([1, 5, 9], max_new_tokens=4, temperature=0.0,
+                   session_id="sess")
+        assert s.suspend_session("sess")
+        assert "sess" in s._suspended
+    got = pipe.generate([42, 7], max_new_tokens=4, temperature=0.0,
+                        session_id="sess")
+    want = ref.generate([42, 7], max_new_tokens=4, temperature=0.0,
+                        session_id="sess")
+    assert got.token_ids == want.token_ids
+
+
+def test_pipelined_q8_kv_parity(setup):
+    """q8 KV pools are no longer silently downgraded in pp mode: the
+    quantized per-stage pages decode with parity vs the flat scheduler's
+    q8 pool."""
+    params, cfg = setup
+    ref = _ref_sched(params, cfg, kv_dtype="q8")
+    pipe = _pipe_sched(params, cfg, kv_dtype="q8")
+    from jlama_tpu.nn.qarray import QArray
+
+    assert isinstance(pipe.kv.state.k_pool, QArray)  # really quantized
+    p = [1, 5, 9, 42, 7]
+    want = ref.generate(p, max_new_tokens=6, temperature=0.0)
+    got = pipe.generate(p, max_new_tokens=6, temperature=0.0)
+    assert got.token_ids == want.token_ids
