@@ -82,7 +82,7 @@ def _embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, positions: jnp.n
 
 
 def _block(x, layer_params: dict, cfg: ModelConfig, positions, cache, cos, sin,
-           sliding_window, attn_window=None):
+           sliding_window, attn_window=None, seq_lengths=None):
     """One transformer block (pre-norm or post-norm per cfg)."""
     rm = cfg.residual_multiplier if cfg.residual_multiplier is not None else 1.0
 
@@ -90,7 +90,7 @@ def _block(x, layer_params: dict, cfg: ModelConfig, positions, cache, cos, sin,
         # post-norm encoder block
         attn_out, cache = L.self_attention_block(
             x, layer_params, cfg, positions, cache, cos, sin, sliding_window,
-            attn_window,
+            attn_window, seq_lengths,
         )
         x = L.norm(x + attn_out, layer_params, cfg, "attn_norm")
         ff = L.mlp_block(x, layer_params, cfg)
@@ -100,7 +100,7 @@ def _block(x, layer_params: dict, cfg: ModelConfig, positions, cache, cos, sin,
     h = L.norm(x, layer_params, cfg, "attn_norm")
     attn_out, cache = L.self_attention_block(
         h, layer_params, cfg, positions, cache, cos, sin, sliding_window,
-        attn_window,
+        attn_window, seq_lengths,
     )
     if cfg.post_attn_norm:
         attn_out = L.norm(attn_out, layer_params, cfg, "post_attn_norm")
@@ -128,6 +128,7 @@ def forward_hidden(
     layer_range: tuple[int, int] | None = None,
     hidden_sharding=None,
     attn_window: int | None = None,
+    seq_lengths: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Run embedding + all transformer layers. Returns (hidden [B,T,D], cache).
 
@@ -176,7 +177,7 @@ def forward_hidden(
             sw = int(sliding[l]) if sliding[l] > 0 else None
             x, cache_l = _block(
                 x, stacked[l], cfg, positions, cache_l, cos, sin, sw,
-                attn_window,
+                attn_window, seq_lengths,
             )
             if cache_is_list:
                 new_cache_list[l] = cache_l
@@ -198,7 +199,7 @@ def forward_hidden(
         else:
             sw = jnp.where(slide > 0, slide, jnp.iinfo(jnp.int32).max)
         x, cache = _block(x, layer_params, cfg, positions, cache, cos, sin, sw,
-                          attn_window)
+                          attn_window, seq_lengths)
         if paged:
             return x, (cache.k_pool, cache.v_pool)
         if cache is not None:

@@ -155,8 +155,15 @@ def attention_scores_mask(
     kv_len: int,
     causal: bool,
     sliding_window: int | None,
+    seq_lengths: jnp.ndarray | None = None,  # [B] valid tokens per row
 ) -> jnp.ndarray:
-    """Boolean mask [B, T, S]: True = attendable."""
+    """Boolean mask [B, T, S]: True = attendable.
+
+    seq_lengths masks PAD key positions (batched variable-length encoder
+    inputs, e.g. the batched embeddings path): key s of row b is attendable
+    only when s < seq_lengths[b]. The reference never batches unequal
+    sequences (AbstractModel.embed is single-sequence); this enables the
+    multi-sequence embed_batch beyond it."""
     kv_pos = jnp.arange(kv_len)[None, None, :]
     qp = q_positions[:, :, None]
     if causal:
@@ -165,6 +172,8 @@ def attention_scores_mask(
         mask = jnp.ones(qp.shape[:2] + (kv_len,), dtype=bool)
     if sliding_window is not None:
         mask = mask & (kv_pos > qp - sliding_window)
+    if seq_lengths is not None:
+        mask = mask & (kv_pos < seq_lengths[:, None, None])
     return mask
 
 
@@ -211,6 +220,7 @@ def self_attention_block(
     sin: jnp.ndarray | None,
     sliding_window: int | None,
     attn_window: int | None = None,
+    seq_lengths: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, KVLayerCache | None]:
     """QKV projections, RoPE, cache update, attention, output projection.
 
@@ -415,6 +425,7 @@ def self_attention_block(
         and cfg.causal
         and cfg.head_size % 128 == 0
         and (sliding_window is None or isinstance(sliding_window, int))
+        and seq_lengths is None
     ):
         from ..ops.pallas_attention import flash_prefill
 
@@ -429,7 +440,7 @@ def self_attention_block(
         ).transpose(0, 2, 1, 3)
     else:
         mask = attention_scores_mask(
-            positions, kv_len, cfg.causal, sliding_window
+            positions, kv_len, cfg.causal, sliding_window, seq_lengths
         )
         out = multi_head_attention(
             q, k_att, v_att, mask, scale, cfg.attn_logit_softcap

@@ -182,10 +182,11 @@ class Engine:
             return lm_logits(params, cfg, hidden_last)
 
         @jax.jit
-        def _hidden_nocache(params, tokens, positions, token_types):
+        def _hidden_nocache(params, tokens, positions, token_types,
+                            seq_lengths=None):
             hidden, _ = forward_hidden(
                 params, cfg, tokens, positions, None, token_types,
-                dtype=compute_dtype,
+                dtype=compute_dtype, seq_lengths=seq_lengths,
             )
             return hidden
 
@@ -472,17 +473,21 @@ class Engine:
         except Exception:  # noqa: BLE001 — multi-process global array
             return np.asarray(a.addressable_shards[0].data)
 
-    def run_embed_hidden(self, toks, pos, tt):
-        """Issue the embed forward (leader broadcasts; follower replays)."""
+    def run_embed_hidden(self, toks, pos, tt, lens=None):
+        """Issue the embed forward (leader broadcasts; follower replays).
+
+        lens: per-row valid-token counts for BATCHED multi-sequence inputs
+        (masks pad keys in non-causal/BERT attention)."""
         if self.step_channel is not None and self._is_leader:
             self.step_channel.publish(
                 {"op": "embed_hidden", "toks": np.asarray(toks),
                  "pos": np.asarray(pos),
-                 "tt": None if tt is None else np.asarray(tt)}
+                 "tt": None if tt is None else np.asarray(tt),
+                 "lens": None if lens is None else np.asarray(lens)}
             )
         return self._hidden_nocache(
             self.params, self._dev_in(toks), self._dev_in(pos),
-            self._dev_in(tt),
+            self._dev_in(tt), self._dev_in(lens),
         )
 
     def embed_tokens(
@@ -491,25 +496,71 @@ class Engine:
         pooling: str = "AVG",  # AVG | MAX | SUM | MODEL
         token_types: list[int] | None = None,
     ) -> np.ndarray:
+        return self.embed_batch(
+            [token_ids], pooling,
+            None if token_types is None else [token_types],
+        )[0]
+
+    def embed_batch(
+        self,
+        token_lists: list[list[int]],
+        pooling: str = "AVG",
+        token_types: list[list[int]] | None = None,
+        max_rows: int = 32,
+    ) -> list[np.ndarray]:
+        """Embed MANY sequences in bucketed batched forwards.
+
+        Beyond the reference (AbstractModel.embed runs one sequence at a
+        time, AbstractModel.java:332-391): rows ride power-of-two row/length
+        buckets (bounded compile variants); shorter rows are padded and pad
+        keys are masked out of attention via seq_lengths, so results match
+        the per-sequence path. max_rows caps a single device call; larger
+        batches chunk.
+        """
         import numpy as _np
 
-        toks = _np.asarray([token_ids], dtype=_np.int32)
-        pos = _np.arange(len(token_ids), dtype=_np.int32)[None, :]
-        tt = (
-            _np.asarray([token_types], dtype=_np.int32)
-            if token_types is not None
-            else None
-        )
-        hidden = self._fetch(self.run_embed_hidden(toks, pos, tt)).astype(
-            _np.float32
-        )[0]
+        out: list[np.ndarray | None] = [None] * len(token_lists)
+        order = sorted(range(len(token_lists)),
+                       key=lambda i: len(token_lists[i]))
+        for c0 in range(0, len(order), max_rows):
+            idxs = order[c0 : c0 + max_rows]
+            rows = 1
+            while rows < len(idxs):
+                rows *= 2
+            T = _bucket(max(len(token_lists[i]) for i in idxs))
+            toks = _np.zeros((rows, T), dtype=_np.int32)
+            pos = _np.broadcast_to(
+                _np.arange(T, dtype=_np.int32), (rows, T)
+            ).copy()
+            lens = _np.ones(rows, dtype=_np.int32)
+            tt = None
+            if token_types is not None:
+                tt = _np.zeros((rows, T), dtype=_np.int32)
+            for r, i in enumerate(idxs):
+                ids = token_lists[i]
+                toks[r, : len(ids)] = ids
+                lens[r] = len(ids)
+                if tt is not None and token_types[i] is not None:
+                    tt[r, : len(token_types[i])] = token_types[i]
+            hidden = self._fetch(
+                self.run_embed_hidden(toks, pos, tt, lens)
+            ).astype(_np.float32)
+            for r, i in enumerate(idxs):
+                out[i] = self._pool_hidden(
+                    hidden[r, : lens[r]], pooling
+                )
+        return out  # type: ignore[return-value]
+
+    def _pool_hidden(self, hidden, pooling: str):
+        """Pool one sequence's hidden states (pads already sliced off)."""
+        import numpy as _np
+
         if pooling in ("MODEL", "CLS"):
-            # MODEL: last token "represents the sum of the prompt"
-            # (AbstractModel.java:346, reference-compatible); CLS: first token
-            # through the pooler — what HF BertForSequenceClassification does
             v = hidden[0] if pooling == "CLS" else hidden[-1]
             if "pooler.weight" in self.params:  # BERT pooler: dense + tanh
-                w = self._fetch(self.params["pooler.weight"]).astype(_np.float32)
+                w = self._fetch(self.params["pooler.weight"]).astype(
+                    _np.float32
+                )
                 b = self._fetch(
                     self.params.get("pooler.bias", _np.zeros(w.shape[0]))
                 ).astype(_np.float32)
@@ -522,7 +573,7 @@ class Engine:
         else:
             v = hidden.mean(axis=0)
         n = _np.linalg.norm(v)
-        return v / n if n > 0 else v  # L2-normalize (AbstractModel.java:370-389)
+        return v / n if n > 0 else v
 
     def embed(self, text: str, pooling: str = "AVG") -> np.ndarray:
         ids = self.tokenizer.encode(text)

@@ -701,7 +701,9 @@ class BatchScheduler:
                         "leader broadcast an embed step but this follower "
                         "has no embed_engine attached"
                     )
-                eng.run_embed_hidden(msg["toks"], msg["pos"], msg["tt"])
+                eng.run_embed_hidden(
+                    msg["toks"], msg["pos"], msg["tt"], msg.get("lens")
+                )
             else:  # pragma: no cover — future ops
                 raise ValueError(f"unknown step op {op!r}")
 
