@@ -17,7 +17,7 @@ import uuid
 from pathlib import Path
 
 
-def _resolve_model(name: str) -> Path:
+def _resolve_model(name: str, args=None) -> Path:
     from .hub import default_model_home, model_dir_name
 
     p = Path(name)
@@ -27,6 +27,14 @@ def _resolve_model(name: str) -> Path:
     for cand in (home / name, home / model_dir_name(name)):
         if cand.exists():
             return cand
+    if args is not None and getattr(args, "auto_download", False):
+        from .hub import maybe_download_model
+
+        print(f"downloading {name} from the Hub ...")
+        return maybe_download_model(
+            name, branch=getattr(args, "branch", "main"),
+            token=getattr(args, "auth_token", None),
+        )
     raise SystemExit(f"model not found: {name} (looked in {home})")
 
 
@@ -74,7 +82,7 @@ def _load_engine(args, for_serving: bool = False):
     from .models.loader import load_params
     from .tokenizers import load_tokenizer
 
-    model_dir = _resolve_model(args.model)
+    model_dir = _resolve_model(args.model, args)
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.working_dtype]
     params, cfg = load_params(model_dir, float_dtype=dtype)
     params = _maybe_repack_pallas(params, args)
@@ -176,7 +184,7 @@ def cmd_serve(args) -> None:
     elif args.mesh == "auto" or n_dev > 1:
         # auto shard planner (cf. JlamaService.java:79-126): size the mesh
         # from the device count, head counts, and checkpoint bytes
-        model_dir = _resolve_model(args.model)
+        model_dir = _resolve_model(args.model, args)
         from .config import load_config
 
         cfg_probe = load_config(model_dir)
@@ -196,7 +204,7 @@ def cmd_serve(args) -> None:
         from .parallel.distributed import load_params_sharded
         from .tokenizers import load_tokenizer
 
-        model_dir = _resolve_model(args.model)
+        model_dir = _resolve_model(args.model, args)
         params, cfg = load_params_sharded(model_dir, None, mesh)
         tokenizer = load_tokenizer(model_dir)
         params = _maybe_repack_pallas(params, args)
@@ -280,6 +288,8 @@ def cmd_serve(args) -> None:
         )
         if args.itl_budget_ms:
             sched.itl_budget_ms = args.itl_budget_ms
+        if args.prefill_fair_rows:
+            sched.prefill_fair_rows = args.prefill_fair_rows
     # HBM hygiene: exactly ONE copy of the layer weights stays live — the
     # scheduler's fused tree. The embeddings/classification Engine shares it
     # (fuse=False: already fused), and the pre-fuse tree is dropped here
@@ -395,6 +405,12 @@ def _add_model_opts(p: argparse.ArgumentParser) -> None:
                    "(auto: on for TPU backends, off elsewhere)")
     p.add_argument("--layer-mode", choices=["scan", "unrolled"], default="scan",
                    help="unrolled: ~2x decode throughput, slow compile")
+    p.add_argument("--auto-download", action="store_true",
+                   help="fetch the model from the HF Hub when the name is a "
+                        "repo id not present locally (parallel ranged "
+                        "download; cf. the reference's --auto-download)")
+    p.add_argument("--branch", default="main")
+    p.add_argument("--auth-token", default=None)
 
 
 def _add_gen_opts(p: argparse.ArgumentParser) -> None:
@@ -456,6 +472,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inter-token latency budget: auto-tunes the async "
                         "decode window depth so token delivery intervals "
                         "stay under this many ms (0 = throughput-first)")
+    p.add_argument("--prefill-fair-rows", type=int, default=0,
+                   help="cap how many requests each batched prefill call "
+                        "advances (FIFO): burst arrivals stop waiting for "
+                        "the whole prompt backlog, bounding TTFT at high "
+                        "concurrency for some prefill-throughput cost "
+                        "(0 = unlimited batching)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("download", help="download a model from HuggingFace")

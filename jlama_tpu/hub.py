@@ -113,8 +113,15 @@ def download_model(
     branch: str = "main",
     token: str | None = None,
     progress: Callable[[str, int, int], None] | None = None,
+    workers: int = 4,
 ) -> Path:
-    """Download a model's config/tokenizer/weights into the model home."""
+    """Download a model's config/tokenizer/weights into the model home.
+
+    Files fetch in parallel (`workers` threads) like the reference's
+    parallel downloader (SafeTensorSupport.java:368-610); each file still
+    resumes via Range requests (download_file)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     out = out_dir or (default_model_home() / model_dir_name(repo))
     out.mkdir(parents=True, exist_ok=True)
     files = list_repo_files(repo, branch, token)
@@ -122,9 +129,41 @@ def download_model(
     wanted = [n for n in names if n in MODEL_FILES]
     st = [n for n in names if n.endswith(".safetensors")]
     index = [n for n in names if n.endswith("safetensors.index.json")]
-    for n in wanted + index + st:
-        download_file(repo, n, out / n, branch, token, progress)
+    todo = wanted + index + st
+    if workers <= 1 or len(todo) <= 1:
+        for n in todo:
+            download_file(repo, n, out / n, branch, token, progress)
+        return out
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [
+            pool.submit(
+                download_file, repo, n, out / n, branch, token, progress
+            )
+            for n in todo
+        ]
+        for f in futs:
+            f.result()  # surface the first failure
     return out
+
+
+def maybe_download_model(
+    name: str, branch: str = "main", token: str | None = None
+) -> Path:
+    """Resolve `name` to a local model dir, downloading from the Hub when it
+    looks like a repo id and is not present (the reference's --auto-download,
+    ModelBaseCommand.java:29-40 + SafeTensorSupport.maybeDownloadModel)."""
+    p = Path(name)
+    if p.exists():
+        return p
+    home = default_model_home()
+    for cand in (home / name, home / model_dir_name(name)):
+        if cand.exists():
+            return cand
+    if "/" not in name:
+        raise FileNotFoundError(
+            f"model not found locally and not a repo id: {name}"
+        )
+    return download_model(name, branch=branch, token=token)
 
 
 def list_models(model_home: Path | None = None) -> list[str]:

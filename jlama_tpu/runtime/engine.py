@@ -139,6 +139,15 @@ class Engine:
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, cfg, mesh)
+        if (
+            layer_mode == "scan"
+            and cfg.sliding_window is not None
+            and cfg.model_type == "gemma2"
+        ):
+            # alternating static windows cannot ride the scan (traced
+            # per-layer window forces the XLA mask path): unroll so the
+            # windowed paged-decode kernel dispatches per layer
+            layer_mode = "unrolled"
         self.layer_mode = layer_mode
         if layer_mode == "unrolled":
             from ..models.base import unstack_params
