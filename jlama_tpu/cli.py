@@ -402,7 +402,12 @@ def _add_model_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas", choices=["auto", "on", "off", "w8a8"],
                    default="auto",
                    help="fused Pallas q4 kernels for quantized weights "
-                   "(auto: on for TPU backends, off elsewhere)")
+                   "(auto: on for TPU backends, off elsewhere). w8a8 "
+                   "selects the q4s two-level int8 format: on the current "
+                   "TPU toolchain its kernel is Mosaic-blocked, so it "
+                   "serves via an XLA dequant fallback that reads MORE "
+                   "bytes than the default q4k kernel — use only for "
+                   "format testing (ops/pallas_w8a8.py:40-57)")
     p.add_argument("--layer-mode", choices=["scan", "unrolled"], default="scan",
                    help="unrolled: ~2x decode throughput, slow compile")
     p.add_argument("--auto-download", action="store_true",

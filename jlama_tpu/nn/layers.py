@@ -297,7 +297,12 @@ def self_attention_block(
             and cfg.n_heads % 8 == 0
         )
         if kernel_ok and (
-            isinstance(k_pool, QArray) or sliding_window is not None
+            isinstance(k_pool, QArray)
+            or sliding_window is not None
+            # the library paged_attention kernel's output block is
+            # (.., head_size): Mosaic requires the last dim % 128, so
+            # head_size-64 models (llama-1B) take the in-tree kernel
+            or cfg.head_size % 128 != 0
         ):
             # in-tree paged decode kernel: streams only the live pages and
             # dequantizes the q8 pages in VMEM after the DMA, so quantized

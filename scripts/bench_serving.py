@@ -129,6 +129,7 @@ def main():
     total_tokens = sum(len(r.out_ids) for r in reqs)
     ttfts = sorted((r.t_first - r.t_start) * 1000 for r in reqs)
     ttft_p50 = ttfts[len(ttfts) // 2]
+    ttft_p95 = ttfts[int(0.95 * (len(ttfts) - 1))]
     gaps = []
     for tt in times:
         gaps += [
@@ -161,6 +162,7 @@ def main():
         "prompt_tokens": PROMPT,
         "decode_tokens": DECODE,
         "ttft_ms_p50": round(ttft_p50, 1),
+        "ttft_ms_p95": round(ttft_p95, 1),
         "inter_token_ms_p95": round(itl_p95, 2),
         "prefill_tokens_per_s": round(prefill_tok_s, 1),
         "decode_lag": sched.decode_lag,

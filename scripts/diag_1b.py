@@ -38,38 +38,68 @@ PROMPT = 512
 
 
 def build(variant: str):
+    opts = set(variant.split("+"))
     cfg = llama_1b_config()
     params = fuse_params(headline.init_params_device(cfg, quant="q4"))
     params = unstack_params(params, cfg)
     cache = unstack_cache(KVCache.init(cfg, 1, 2048, jnp.bfloat16))
-    win = 256 if variant == "win256" else 1024
+    win = 256 if "win256" in opts else 1024
+    if "fullwin" in opts:
+        # no k_att/v_att prefix slice: attention reads the FULL cache with
+        # masking. Tests whether the slice+update aliasing of the carried
+        # cache is what forces XLA's copy insertion (~0.87 ms/step measured
+        # via no_kv_write).
+        win = None
 
     # ablation monkeypatches (trace-time): each removes one non-matmul
     # component while keeping every weight stream intact
     from jlama_tpu.nn import layers as L
 
-    if variant == "attn_identity":
+    if "attn_identity" in opts:
         # remove score/softmax/V math AND the KV reads (the gathered k/v
         # become dead code); QKV/wo matmuls + cache writes stay
         L.multi_head_attention = (
             lambda q, k, v, mask, scale, softcap=None: q
         )
-    elif variant == "no_kv_write":
+    if "no_kv_write" in opts:
         L._update_cache = lambda cache, new, pos0: cache
-    elif variant == "no_norms":
+    if "no_norms" in opts:
         L.rms_norm = lambda x, w, eps, weight_offset=0.0: x
-    elif variant == "no_rope":
+    if "no_rope" in opts:
         import jlama_tpu.nn.rope as R
 
         L.apply_rope = lambda x, cos, sin: x
         R.apply_rope = L.apply_rope
+    if "rope_wide" in opts:
+        # wide-table roll formulation: cos/sin widened to full head_size
+        # ONCE per step (outside the layer loop), sign folded into the sin
+        # table, rotate_half via jnp.roll — 2 mul + 1 add + 1 roll per
+        # apply instead of slice/concat
+        import jlama_tpu.models.base as MBm
+
+        def wide_cos_sin(positions, inv_freq):
+            angles = positions[..., None].astype(jnp.float32) * inv_freq
+            c, s = jnp.cos(angles), jnp.sin(angles)
+            return (jnp.concatenate([c, c], -1),
+                    jnp.concatenate([-s, s], -1))
+
+        def apply_wide(x, cw, sw):
+            half = x.shape[-1] // 2
+            rot = jnp.roll(x, half, axis=-1)
+            return (
+                x.astype(jnp.float32) * cw[..., None, :]
+                + rot.astype(jnp.float32) * sw[..., None, :]
+            ).astype(x.dtype)
+
+        MBm.rope_cos_sin = wide_cos_sin
+        L.apply_rope = apply_wide
 
     def step_fn(params, cache, token, position):
         hidden, cache = forward_hidden(
             params, cfg, token, position, cache, dtype=jnp.bfloat16,
             attn_window=win,
         )
-        if variant == "no_lmhead":
+        if "no_lmhead" in opts:
             tok = jnp.argmax(hidden[:, -1, :128], axis=-1).astype(jnp.int32)
         else:
             logits = lm_logits(params, cfg, hidden[:, -1:, :])[:, 0]
