@@ -62,7 +62,9 @@ def init_params_device(cfg, dtype=jnp.bfloat16, quant: str = "bf16"):
             data = jax.random.randint(
                 k, (*shape[:-1], shape[-1] // 2), 0, 256, jnp.int32
             ).astype(jnp.uint8)
-            scales = jnp.full((*shape[:-1], shape[-1] // 32), 0.01, jnp.float32)
+            scales = jnp.full(
+                (*shape[:-1], shape[-1] // 32), 0.01, jnp.bfloat16
+            )
             return QArray(data, scales, "q4k")
         return w(k, *shape)
 
@@ -99,7 +101,9 @@ def active_bytes_per_token(cfg, quant: str) -> float:
     qdim, kvdim = cfg.n_heads * cfg.head_size, cfg.n_kv_heads * cfg.head_size
     per_layer = qdim * D + 2 * kvdim * D + D * qdim + 3 * H * D
     total = L * per_layer + cfg.vocab_size * D  # + lm_head (tied = embed read)
-    bytes_per = {"bf16": 2.0, "q4": 0.5 + 4.0 / 32}[quant]
+    # q4k scales are bf16 (ops/pallas_q4.to_kernel_layout): 4.0625 effective
+    # bits/weight (payload 4 + scale 2*8/32)
+    bytes_per = {"bf16": 2.0, "q4": 0.5 + 2.0 / 32}[quant]
     return total * bytes_per
 
 

@@ -405,8 +405,13 @@ def self_attention_block(
         cache = KVLayerCache(k_cache, v_cache)
         k_att, v_att = k_cache, v_cache
         kv_len = S
-        if attn_window is not None and attn_window < S:
-            # static slice: attention reads only the live context prefix
+        if attn_window is not None and attn_window < S // 2:
+            # static slice: attention reads only the live context prefix.
+            # Only pays when it at least HALVES the bytes: slicing a cache
+            # that is also updated in the same (loop-carried) program makes
+            # XLA insert a window-sized defensive copy — measured 0.52
+            # ms/step on the 1B decode loop (scripts/diag_1b.py fullwin),
+            # more than the full-window read it saves at win >= S/2
             k_att = k_cache[:, :, :attn_window]
             v_att = v_cache[:, :, :attn_window]
             kv_len = attn_window

@@ -67,15 +67,21 @@ def to_kernel_layout(w: QArray, chunks: int = 1) -> QArray:
     if w.fmt != "q4":
         raise ValueError(f"expected fmt q4, got {w.fmt}")
     k = w.data.shape[-1] * 2
+    # q4k scales are stored bf16: the kernel dequantizes at bf16 lane width
+    # anyway (numerics identical), and keeping the master f32 scales would
+    # cost a [N, K/32] f32->bf16 conversion pass EVERY matmul call (~70 MB
+    # of extra traffic per 1B decode step) plus 2x the scale bytes in the
+    # weight stream (4.5 -> 4.0625 bits/weight effective)
+    scales = w.scales.astype(jnp.bfloat16)
     if chunks == 1:
-        return QArray(w.data[..., kernel_column_perm(k)], w.scales, "q4k")
+        return QArray(w.data[..., kernel_column_perm(k)], scales, "q4k")
     if k % (32 * chunks):
         raise ValueError(f"k={k} not block-divisible into {chunks} chunks")
     kl = k // chunks
     perm = kernel_column_perm(kl)
     d = w.data.reshape(*w.data.shape[:-1], chunks, kl // 2)
     d = d[..., perm].reshape(w.data.shape)
-    return QArray(d, w.scales, "q4k")
+    return QArray(d, scales, "q4k")
 
 
 def from_kernel_layout(w: QArray) -> QArray:
@@ -83,7 +89,7 @@ def from_kernel_layout(w: QArray) -> QArray:
         raise ValueError(f"expected fmt q4k, got {w.fmt}")
     k = w.data.shape[-1] * 2
     inv = np.argsort(kernel_column_perm(k))
-    return QArray(w.data[..., inv], w.scales, "q4")
+    return QArray(w.data[..., inv], w.scales.astype(jnp.float32), "q4")
 
 
 def split_x(x: jnp.ndarray):

@@ -63,6 +63,17 @@ def build(variant: str):
         )
     if "no_kv_write" in opts:
         L._update_cache = lambda cache, new, pos0: cache
+    if "barrier" in opts:
+        # optimization_barrier after the cache scatter: stops XLA fusing the
+        # dynamic-update-slice into its consumers (a fused dus+read
+        # rematerializes the whole buffer — suspected source of the
+        # 0.35 ms/step write cost under fullwin)
+        orig_update = L._update_cache
+
+        def upd(cache, new, pos0):
+            return jax.lax.optimization_barrier(orig_update(cache, new, pos0))
+
+        L._update_cache = upd
     if "no_norms" in opts:
         L.rms_norm = lambda x, w, eps, weight_offset=0.0: x
     if "no_rope" in opts:
