@@ -463,6 +463,13 @@ def self_attention_block(
 
 def _update_cache(cache: jnp.ndarray, new: jnp.ndarray, pos0: jnp.ndarray) -> jnp.ndarray:
     """Insert new [B, n_kv, T, hd] into cache [B, n_kv, S, hd] at per-row pos0."""
+    if cache.shape[0] == 1:
+        # single row: a direct dynamic_update_slice (the vmap'd form lowers
+        # through scatter, measured ~0.07 ms/step slower on the 1B decode
+        # loop — scripts/diag_1b.py dus1)
+        return jax.lax.dynamic_update_slice(
+            cache, new.astype(cache.dtype), (0, 0, pos0[0], 0)
+        )
 
     def upd(c, n, p):
         return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))

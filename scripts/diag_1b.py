@@ -63,6 +63,24 @@ def build(variant: str):
         )
     if "no_kv_write" in opts:
         L._update_cache = lambda cache, new, pos0: cache
+    if "kvkern" in opts:
+        # Pallas in-place write: only one bs-row block of the cache moves
+        from jlama_tpu.ops.pallas_kv import kv_write_dense1
+
+        def updk(cache, new, pos0):
+            return kv_write_dense1(cache, new, pos0[0])
+
+        L._update_cache = updk
+    if "dus1" in opts:
+        # B=1: plain dynamic_update_slice with scalar start instead of the
+        # vmap'd per-row form (vmap(dus) lowers via scatter; a direct dus
+        # may take XLA's in-place path)
+        def upd1(cache, new, pos0):
+            return jax.lax.dynamic_update_slice(
+                cache, new.astype(cache.dtype), (0, 0, pos0[0], 0)
+            )
+
+        L._update_cache = upd1
     if "barrier" in opts:
         # optimization_barrier after the cache scatter: stops XLA fusing the
         # dynamic-update-slice into its consumers (a fused dus+read

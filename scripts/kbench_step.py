@@ -46,7 +46,10 @@ SHAPES = {
 def make_weights(key, n, k):
     kp, ks = jax.random.split(key)
     packed = jax.random.randint(kp, (n, k // 2), 0, 256, jnp.int32).astype(jnp.uint8)
-    scales = jnp.full((n, k // 32), 0.01, jnp.float32)
+    sdt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+        os.environ.get("JLAMA_KBENCH_SCALES", "bf16")
+    ]
+    scales = jnp.full((n, k // 32), 0.01, sdt)
     return packed, scales
 
 

@@ -161,3 +161,21 @@ def test_kernels_on_forward_path_interpret(monkeypatch):
     # the kernel dequantizes q8 pages to bf16 before the MXU dots (the TPU
     # compute dtype); the XLA reference keeps f32 here
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_kv_write_dense1_matches_at_set():
+    """In-place dense KV write kernel (ops/pallas_kv.py) == .at[].set.
+
+    (Measured SLOWER than the fused dus on the 1B decode loop — kept as a
+    documented probe; this pins its correctness either way.)"""
+    import numpy as np
+
+    from jlama_tpu.ops.pallas_kv import kv_write_dense1
+
+    rng = np.random.default_rng(3)
+    pool = jnp.asarray(rng.normal(size=(1, 4, 32, 64)).astype(np.float32))
+    new = jnp.asarray(rng.normal(size=(1, 4, 1, 64)).astype(np.float32))
+    for pos in (0, 7, 8, 31):
+        got = kv_write_dense1(pool, new, jnp.int32(pos), interpret=True)
+        ref = pool.at[:, :, pos : pos + 1, :].set(new)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
