@@ -236,7 +236,7 @@ def main():
     # the scheduler under concurrency; single-stream above is the raw loop)
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(here, "BENCH_SERVING_CURVE_r04.json")) as f:
+        with open(os.path.join(here, "BENCH_SERVING_CURVE_r05.json")) as f:
             curve = json.load(f)
         out["serving_curve_levels"] = curve["levels"]
         out["serving_curve_tokens_per_s"] = curve["decode_tokens_per_s"]

@@ -199,10 +199,52 @@ class Engine:
             )
             return hidden
 
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnums=(5,))
+        def _pooled_nocache(params, tokens, positions, token_types, lens,
+                            pooling):
+            """Batched embed forward + ON-DEVICE pooling: the host fetches
+            [R, D] vectors, not the [R, T, D] hidden tensor (which costs
+            ~100 ms of transfer per 32x128 request over a remote relay).
+            Pooling semantics mirror AbstractModel.embed
+            (AbstractModel.java:332-391)."""
+            hidden, _ = forward_hidden(
+                params, cfg, tokens, positions, None, token_types,
+                dtype=compute_dtype, seq_lengths=lens,
+            )
+            h = hidden.astype(jnp.float32)
+            T = h.shape[1]
+            if pooling in ("MODEL", "CLS"):
+                if pooling == "CLS":
+                    v = h[:, 0]
+                else:  # last VALID token per row
+                    idx = jnp.maximum(lens - 1, 0)[:, None, None]
+                    v = jnp.take_along_axis(h, idx, axis=1)[:, 0]
+                if "pooler.weight" in params:  # BERT pooler: dense + tanh
+                    w = params["pooler.weight"].astype(jnp.float32)
+                    v = v @ w.T
+                    if "pooler.bias" in params:
+                        v = v + params["pooler.bias"].astype(jnp.float32)
+                    v = jnp.tanh(v)
+                return v
+            m = (jnp.arange(T)[None, :] < lens[:, None])[..., None]
+            if pooling == "MAX":
+                v = jnp.max(jnp.where(m, h, -jnp.inf), axis=1)
+            elif pooling == "SUM":
+                v = jnp.sum(h * m, axis=1)
+            else:  # AVG
+                v = jnp.sum(h * m, axis=1) / jnp.maximum(
+                    lens[:, None].astype(jnp.float32), 1.0
+                )
+            n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+            return v / jnp.maximum(n, 1e-12)  # L2 (AbstractModel.java:370-389)
+
         self._prefill = _prefill
         self._decode = _decode
         self._logits_at = _logits_at
         self._hidden_nocache = _hidden_nocache
+        self._pooled_nocache = _pooled_nocache
         # N tokens per dispatch: the host loop above pays a dispatch+sync
         # round-trip per token, which dominates small-model decode (see
         # runtime/device_loop.py). Same PRNG stream -> identical tokens.
@@ -499,6 +541,20 @@ class Engine:
             self._dev_in(tt), self._dev_in(lens),
         )
 
+    def run_embed_pooled(self, toks, pos, tt, lens, pooling: str):
+        """Batched embed + on-device pooling (leader broadcasts)."""
+        if self.step_channel is not None and self._is_leader:
+            self.step_channel.publish(
+                {"op": "embed_pool", "toks": np.asarray(toks),
+                 "pos": np.asarray(pos),
+                 "tt": None if tt is None else np.asarray(tt),
+                 "lens": np.asarray(lens), "pooling": pooling}
+            )
+        return self._pooled_nocache(
+            self.params, self._dev_in(toks), self._dev_in(pos),
+            self._dev_in(tt), self._dev_in(lens), pooling,
+        )
+
     def embed_tokens(
         self,
         token_ids: list[int],
@@ -551,13 +607,11 @@ class Engine:
                 lens[r] = len(ids)
                 if tt is not None and token_types[i] is not None:
                     tt[r, : len(token_types[i])] = token_types[i]
-            hidden = self._fetch(
-                self.run_embed_hidden(toks, pos, tt, lens)
+            vecs = self._fetch(
+                self.run_embed_pooled(toks, pos, tt, lens, pooling)
             ).astype(_np.float32)
             for r, i in enumerate(idxs):
-                out[i] = self._pool_hidden(
-                    hidden[r, : lens[r]], pooling
-                )
+                out[i] = vecs[r]
         return out  # type: ignore[return-value]
 
     def _pool_hidden(self, hidden, pooling: str):

@@ -724,6 +724,17 @@ class BatchScheduler:
                 eng.run_embed_hidden(
                     msg["toks"], msg["pos"], msg["tt"], msg.get("lens")
                 )
+            elif op == "embed_pool":
+                eng = getattr(self, "embed_engine", None)
+                if eng is None:
+                    raise RuntimeError(
+                        "leader broadcast an embed step but this follower "
+                        "has no embed_engine attached"
+                    )
+                eng.run_embed_pooled(
+                    msg["toks"], msg["pos"], msg["tt"], msg["lens"],
+                    msg["pooling"],
+                )
             else:  # pragma: no cover — future ops
                 raise ValueError(f"unknown step op {op!r}")
 
