@@ -31,10 +31,13 @@ def _resolve_model(name: str, args=None) -> Path:
         from .hub import maybe_download_model
 
         print(f"downloading {name} from the Hub ...")
-        return maybe_download_model(
-            name, branch=getattr(args, "branch", "main"),
-            token=getattr(args, "auth_token", None),
-        )
+        try:
+            return maybe_download_model(
+                name, branch=getattr(args, "branch", "main"),
+                token=getattr(args, "auth_token", None),
+            )
+        except FileNotFoundError:
+            pass  # not a repo id: fall through to the clean error
     raise SystemExit(f"model not found: {name} (looked in {home})")
 
 
@@ -85,7 +88,9 @@ def _load_engine(args, for_serving: bool = False):
     model_dir = _resolve_model(args.model, args)
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.working_dtype]
     params, cfg = load_params(model_dir, float_dtype=dtype)
-    params = _maybe_repack_pallas(params, args)
+    if not for_serving:
+        # serving defers the q4k repack to the scheduler (see cmd_serve)
+        params = _maybe_repack_pallas(params, args)
     tokenizer = load_tokenizer(model_dir)
     return params, cfg, tokenizer, model_dir
 
@@ -207,9 +212,10 @@ def cmd_serve(args) -> None:
         model_dir = _resolve_model(args.model, args)
         params, cfg = load_params_sharded(model_dir, None, mesh)
         tokenizer = load_tokenizer(model_dir)
-        params = _maybe_repack_pallas(params, args)
     else:
-        params, cfg, tokenizer, model_dir = _load_engine(args, for_serving=True)
+        params, cfg, tokenizer, model_dir = _load_engine(
+            args, for_serving=True
+        )
 
     import jax.numpy as _jnp
 
@@ -237,7 +243,15 @@ def cmd_serve(args) -> None:
             step_channel = StepChannel.connect(
                 coordinator_host(args.coordinator), sport
             )
-    wfmt = "q4s" if args.pallas == "w8a8" else None
+    # serving does NOT pre-repack to q4k here: the scheduler must perform
+    # the repack itself (weight_format="q4k") so the shard_map tp path can
+    # apply the per-shard CHUNKED layout to row-parallel weights — a
+    # globally-permuted q4k sliced over tp shards would contract mismatched
+    # features (silent garbage). chat/complete (Engine, no shard_map) keep
+    # the global pre-repack in _load_engine.
+    wfmt = "q4s" if args.pallas == "w8a8" else (
+        "q4k" if _pallas_enabled(args) else None
+    )
     if (
         mesh is not None
         and mesh.shape["pp"] > 1
@@ -264,6 +278,8 @@ def cmd_serve(args) -> None:
             max_seq_len=args.context, kv_dtype=kv_dtype,
             weight_format=wfmt, step_channel=step_channel,
         )
+        if args.prefill_fair_rows:
+            sched.prefill_fair_rows = args.prefill_fair_rows
         if args.itl_budget_ms:
             # the pp PipelinedScheduler has no async window depth to budget
             print(
@@ -340,8 +356,10 @@ def cmd_download(args) -> None:
     from .hub import download_model
 
     def progress(name, done, total):
-        pct = 100 * done // max(total, 1)
-        print(f"\r{name}: {pct}% ({done // (1 << 20)} MiB)", end="", flush=True)
+        # files download in parallel threads: only completion lines print
+        # (interleaved \r-rewrites from 4 threads would garble one line)
+        if done >= total:
+            print(f"{name}: done ({total // (1 << 20)} MiB)", flush=True)
 
     out = download_model(
         args.model, branch=args.branch, token=args.auth_token, progress=progress

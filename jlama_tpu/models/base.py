@@ -368,6 +368,21 @@ def prepare_moe_ragged(params: dict) -> dict:
     return out
 
 
+def effective_layer_mode(cfg: ModelConfig, layer_mode: str) -> str:
+    """Resolve the requested layer mode against the model's constraints:
+    alternating static sliding windows (gemma2) cannot ride the scan — the
+    traced per-layer window scalar forces the XLA mask path — so such
+    models auto-select the unrolled path where each layer's window is a
+    Python int that dispatches to the windowed paged-decode kernel."""
+    if (
+        layer_mode == "scan"
+        and cfg.sliding_window is not None
+        and cfg.model_type == "gemma2"
+    ):
+        return "unrolled"
+    return layer_mode
+
+
 def unstack_params(params: dict, cfg: ModelConfig) -> dict:
     """Convert stacked layer params to a per-layer list (one-time copy).
 

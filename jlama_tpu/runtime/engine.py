@@ -139,15 +139,9 @@ class Engine:
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, cfg, mesh)
-        if (
-            layer_mode == "scan"
-            and cfg.sliding_window is not None
-            and cfg.model_type == "gemma2"
-        ):
-            # alternating static windows cannot ride the scan (traced
-            # per-layer window forces the XLA mask path): unroll so the
-            # windowed paged-decode kernel dispatches per layer
-            layer_mode = "unrolled"
+        from ..models.base import effective_layer_mode
+
+        layer_mode = effective_layer_mode(cfg, layer_mode)
         self.layer_mode = layer_mode
         if layer_mode == "unrolled":
             from ..models.base import unstack_params
@@ -613,30 +607,6 @@ class Engine:
             for r, i in enumerate(idxs):
                 out[i] = vecs[r]
         return out  # type: ignore[return-value]
-
-    def _pool_hidden(self, hidden, pooling: str):
-        """Pool one sequence's hidden states (pads already sliced off)."""
-        import numpy as _np
-
-        if pooling in ("MODEL", "CLS"):
-            v = hidden[0] if pooling == "CLS" else hidden[-1]
-            if "pooler.weight" in self.params:  # BERT pooler: dense + tanh
-                w = self._fetch(self.params["pooler.weight"]).astype(
-                    _np.float32
-                )
-                b = self._fetch(
-                    self.params.get("pooler.bias", _np.zeros(w.shape[0]))
-                ).astype(_np.float32)
-                v = _np.tanh(w @ v + b)
-            return v
-        if pooling == "MAX":
-            v = hidden.max(axis=0)
-        elif pooling == "SUM":
-            v = hidden.sum(axis=0)
-        else:
-            v = hidden.mean(axis=0)
-        n = _np.linalg.norm(v)
-        return v / n if n > 0 else v
 
     def embed(self, text: str, pooling: str = "AVG") -> np.ndarray:
         ids = self.tokenizer.encode(text)

@@ -154,14 +154,22 @@ class BatchScheduler:
 
             from ..parallel.tp_forward import can_shard_map
 
-            quantized = any(
-                hasattr(leaf, "fmt")
+            qleaves = [
+                leaf
                 for leaf in jax.tree.leaves(
                     params, is_leaf=lambda x: hasattr(x, "fmt")
                 )
-            )
+                if hasattr(leaf, "fmt")
+            ]
+            quantized = bool(qleaves)
+            # weights already in the GLOBAL q4k permutation cannot shard:
+            # the per-shard layout must be chunk-repacked from canonical q4
+            # by this constructor (weight_format="q4k"); a tp block slice of
+            # the global permutation would contract mismatched features
+            pre_permuted = any(leaf.fmt == "q4k" for leaf in qleaves)
             if (
-                _os_sm.environ.get("JLAMA_SHARD_MAP", "1") != "0"
+                not pre_permuted
+                and _os_sm.environ.get("JLAMA_SHARD_MAP", "1") != "0"
                 and (
                     mesh.shape.get("tp", 1) > 1 or mesh.shape.get("dp", 1) > 1
                 )
@@ -206,16 +214,9 @@ class BatchScheduler:
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, cfg, mesh)
-        if (
-            layer_mode == "scan"
-            and cfg.sliding_window is not None
-            and cfg.model_type == "gemma2"
-        ):
-            # alternating static windows cannot ride the scan: the traced
-            # per-layer window scalar forces the XLA mask path (VERDICT r4
-            # weak #4). Unrolled, each layer's window is a Python int and
-            # dispatches to the windowed paged-decode kernel.
-            layer_mode = "unrolled"
+        from ..models.base import effective_layer_mode
+
+        layer_mode = effective_layer_mode(cfg, layer_mode)
         self.mesh = mesh
         self.layer_mode = layer_mode
         if layer_mode == "unrolled":
@@ -861,10 +862,17 @@ class BatchScheduler:
         }
         return [s for s in self.session_state if s not in active]
 
-    def _evict_for_pages(self) -> bool:
+    def _evict_for_pages(self, group: int = 0) -> bool:
         """Free HBM pages by suspending the least-recently-used idle session
-        to host RAM. Returns True if something was evicted."""
+        to host RAM. Returns True if something was evicted. Under dp only
+        sessions of the SAME page group can free useful pages (the pool's
+        page ranges are disjoint per dp shard)."""
         for sid in self._idle_sessions_lru():
+            if (
+                self._sm_dp > 1
+                and self.kv.alloc.group_of.get(sid, 0) != group
+            ):
+                continue
             if self.suspend_session(sid):
                 self._evictions += 1
                 return True
@@ -878,7 +886,7 @@ class BatchScheduler:
                 self.kv.alloc.ensure_capacity(key, upto, ps, group=group)
                 return True
             except MemoryError:
-                if not self._evict_for_pages():
+                if not self._evict_for_pages(group):
                     return False
 
     def _slot_groups(self) -> list[int] | None:
@@ -896,13 +904,38 @@ class BatchScheduler:
             except queue.Empty:
                 break
 
+            ps = self.kv.page_size
+            key = self._kv_key(req)
+            # dp: a session with live OR suspended pages is pinned to the dp
+            # group that owns its page range — only slots of that group may
+            # serve it. Slot selection runs BEFORE any suspended-session
+            # restore, so a busy group never triggers restore/offload churn.
+            want_g = None
+            if self._sm_dp > 1:
+                want_g = self.kv.alloc.group_of.get(key)
+                if want_g is None and key in self._suspended:
+                    want_g = self._suspended[key][2]
+            slot = next(
+                (
+                    s for s in free
+                    if want_g is None or s // self._spg == want_g
+                ),
+                None,
+            )
+            if slot is None:
+                deferred.append(req)  # right-group slots busy; retry later
+                continue
+
             # session resume: prepend the pending (sampled-but-unforwarded)
             # token and continue from the stored position
             prompt_ids = list(req.prompt_ids)
             start_pos = 0
             if req.session_id:
-                if req.session_id in self._suspended:
-                    self.resume_session(req.session_id)
+                if req.session_id in self._suspended and not self.resume_session(
+                    req.session_id
+                ):
+                    deferred.append(req)  # no pages even after eviction
+                    continue
                 if req.session_id in self.session_state:
                     start_pos, pending_tok = self.session_state[req.session_id]
                     if pending_tok is not None:
@@ -914,23 +947,6 @@ class BatchScheduler:
                 req.finish = FinishReason.ERROR
                 req.state = RequestState.DONE
                 req.done_event.set()
-                continue
-            ps = self.kv.page_size
-            key = self._kv_key(req)
-            # dp: a session with live pages is pinned to the dp group that
-            # owns its page range — only slots of that group may serve it
-            want_g = (
-                self.kv.alloc.group_of.get(key) if self._sm_dp > 1 else None
-            )
-            slot = next(
-                (
-                    s for s in free
-                    if want_g is None or s // self._spg == want_g
-                ),
-                None,
-            )
-            if slot is None:
-                deferred.append(req)  # right-group slots busy; retry later
                 continue
             group = slot // self._spg if self._sm_dp > 1 else 0
             if not self._ensure_capacity_evicting(
@@ -1256,9 +1272,19 @@ class BatchScheduler:
         payload, state, group = self._suspended[session_id]
         n_pages = self._payload_pages(session_id, payload)
         ps = self.kv.page_size
-        pages = self.kv.alloc.ensure_capacity(
-            session_id, n_pages * ps, ps, group=group
-        )
+        # allocate with eviction; a full (group) pool must NOT raise out of
+        # the scheduler loop (that would fail every in-flight request) —
+        # the session just stays suspended and its requester retries
+        while True:
+            try:
+                pages = self.kv.alloc.ensure_capacity(
+                    session_id, n_pages * ps, ps, group=group
+                )
+                break
+            except MemoryError:
+                if not self._evict_for_pages(group):
+                    self.kv.alloc.release(session_id)  # partial alloc back
+                    return False
         idxs_np = np.asarray(pages, dtype=np.int32)
         if self._chan is not None and self._is_leader:
             self._chan.publish(

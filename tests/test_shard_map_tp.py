@@ -275,6 +275,28 @@ def test_dp_sessions_pinned_to_group(tiny):
     assert run(mesh) == ref
 
 
+def test_pre_permuted_q4k_refuses_shard_map(tiny, monkeypatch):
+    """Weights already in the GLOBAL q4k permutation (e.g. pre-repacked
+    outside the scheduler) must NOT take the shard_map path — a tp block
+    slice of the global column permutation would contract mismatched
+    features. The scheduler falls back to GSPMD and stays correct."""
+    monkeypatch.setenv("JLAMA_PALLAS_INTERPRET", "1")
+    params, cfg = tiny
+    qparams = _quantize_layers(params)
+    from jlama_tpu.ops.pallas_q4 import prepare_params_for_pallas
+    from jlama_tpu.parallel.mesh import make_mesh
+
+    pre = prepare_params_for_pallas(qparams)  # GLOBAL kernel layout
+    ref = _mk_sched(pre, cfg).generate(
+        [1, 5, 9, 42], max_new_tokens=5, temperature=0.0
+    )
+    mesh = make_mesh(jax.devices()[:2], dp=1, pp=1, tp=2)
+    sched = _mk_sched(pre, cfg, mesh=mesh)
+    assert sched._sm is None, "pre-permuted q4k must use the GSPMD fallback"
+    got = sched.generate([1, 5, 9, 42], max_new_tokens=5, temperature=0.0)
+    assert got.token_ids == ref.token_ids
+
+
 def test_interleaved_fuse_matches_plain_globally(tiny):
     """tp-interleaved fusion is a pure row permutation: dequantized global
     weights contain the same rows, and per-shard block i equals
