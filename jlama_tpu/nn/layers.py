@@ -526,8 +526,25 @@ def moe_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
     topk_w, topk_idx = jax.lax.top_k(router_logits, K)
     topk_w = jax.nn.softmax(topk_w, axis=-1)  # softmax over the selected k
 
+    # EXPERT PARALLELISM inside shard_map: the expert stacks are sharded
+    # over tp (specs map experts.* row 0 to 'tp'), so each device holds
+    # E/tp experts, routes over the GLOBAL expert set (router replicated),
+    # computes only its local experts' contributions, and psums — the
+    # dedicated EP the reference lacks (SURVEY §2.6 "EP — NO").
+    from ..parallel.tp_forward import current as _sm_current
+
+    ctx = _sm_current()
+    w1ref = params.get("experts.w1_t", params.get("experts.w1"))
+    n_local = (
+        w1ref.data if hasattr(w1ref, "data") else w1ref
+    ).shape[0]
+    ep = ctx is not None and ctx.tp_axis is not None and n_local < E
+    lo = jax.lax.axis_index(ctx.tp_axis) * n_local if ep else 0
+    tp_ax = ctx.tp_axis if ep else None
+
     if "experts.w1_t" in params:
-        return _moe_ragged(x, params, cfg, topk_w, topk_idx)
+        return _moe_ragged(x, params, cfg, topk_w, topk_idx, lo=lo,
+                           n_local=n_local, tp_axis=tp_ax)
 
     from .qarray import QArray
 
@@ -538,19 +555,22 @@ def moe_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
             # computing every expert — E/K fewer weight bytes per step, the
             # configs where bandwidth matters most (cf. MoEBlock.java:
             # 101-144, which also touches only the selected experts)
-            return _moe_gathered(x, params, cfg, topk_w, topk_idx)
+            return _moe_gathered(x, params, cfg, topk_w, topk_idx, lo=lo,
+                                 n_local=n_local, tp_axis=tp_ax)
         # quantized experts, prefill-sized batch: dequantize once for this
         # call and take the grouped ragged path — FLOPs drop from
         # every-expert-every-token (the old dense fallback) to top-k per
         # token, while the dequant reads each expert's bytes once, which a
-        # full prefill does anyway (VERDICT r3 weak #7)
+        # full prefill does anyway (VERDICT r3 weak #7). Only the LOCAL
+        # experts dequantize under EP.
         deq = {
             k + "_t": jnp.swapaxes(
                 params[k].dequantize(jnp.bfloat16), -1, -2
             )
             for k in ("experts.w1", "experts.w2", "experts.w3")
         }
-        return _moe_ragged(x, deq, cfg, topk_w, topk_idx)
+        return _moe_ragged(x, deq, cfg, topk_w, topk_idx, lo=lo,
+                           n_local=n_local, tp_axis=tp_ax)
 
     # combine weights as dense [B,T,E]
     combine = jnp.zeros((B, T, E), router_logits.dtype).at[
@@ -558,24 +578,30 @@ def moe_block(x: jnp.ndarray, params: dict, cfg: ModelConfig) -> jnp.ndarray:
         jnp.arange(T)[None, :, None],
         topk_idx,
     ].add(topk_w)
+    if ep:  # this shard combines only its local experts' columns
+        combine = jax.lax.dynamic_slice_in_dim(combine, lo, n_local, axis=2)
 
-    # experts: stacked weights [E, h, D] / [E, D, h]
+    # experts: stacked weights [E(_local), h, D] / [E(_local), D, h]
     def expert_fn(w1, w2, w3):
         gate = activation(linear(x, w1), cfg.activation)
         up = linear(x, w3)
         return linear(gate * up, w2)  # [B, T, D]
 
     outs = jax.vmap(expert_fn)(params["experts.w1"], params["experts.w2"], params["experts.w3"])
-    # outs: [E, B, T, D] -> weighted sum
-    return jnp.einsum("ebtd,bte->btd", outs.astype(jnp.float32), combine).astype(
-        x.dtype
-    )
+    # outs: [E(_local), B, T, D] -> weighted sum
+    y = jnp.einsum("ebtd,bte->btd", outs.astype(jnp.float32), combine)
+    if ep:
+        y = jax.lax.psum(y, tp_ax)
+    return y.astype(x.dtype)
 
 
-def _moe_gathered(x, params, cfg, topk_w, topk_idx):
+def _moe_gathered(x, params, cfg, topk_w, topk_idx, lo=0, n_local=None,
+                  tp_axis=None):
     """Per-token expert gather for quantized experts at decode batch sizes:
     each (token, k) selection dynamically indexes one expert's QArray slice,
-    so only the chosen experts' weights stream from HBM."""
+    so only the chosen experts' weights stream from HBM. Under EP
+    (tp_axis set) each shard computes only selections that route to its
+    local expert range and the partials psum."""
     B, T, D = x.shape
     K = cfg.n_experts_per_token
     N = B * T
@@ -585,23 +611,41 @@ def _moe_gathered(x, params, cfg, topk_w, topk_idx):
     w3 = params["experts.w3"]
     idxf = topk_idx.reshape(N, K)
     wf = topk_w.reshape(N, K)
+    ep = tp_axis is not None
     ys = []
     for t in range(N):  # static, small (<= 8)
         xi = xf[t : t + 1]
         acc = jnp.zeros((D,), jnp.float32)
         for j in range(K):
             e = idxf[t, j]
+            if ep:
+                el = e - lo
+                valid = ((el >= 0) & (el < n_local)).astype(jnp.float32)
+                e = jnp.clip(el, 0, n_local - 1)
             gate = activation(linear(xi, w1[e]), cfg.activation)
             up = linear(xi, w3[e])
             y = linear(gate * up, w2[e], out_dtype=jnp.float32)
-            acc = acc + wf[t, j].astype(jnp.float32) * y[0]
+            wgt = wf[t, j].astype(jnp.float32)
+            if ep:
+                wgt = wgt * valid
+            acc = acc + wgt * y[0]
         ys.append(acc)
-    return jnp.stack(ys).reshape(B, T, D).astype(x.dtype)
+    out = jnp.stack(ys).reshape(B, T, D)
+    if ep:
+        out = jax.lax.psum(out, tp_axis)
+    return out.astype(x.dtype)
 
 
-def _moe_ragged(x, params, cfg, topk_w, topk_idx):
+def _moe_ragged(x, params, cfg, topk_w, topk_idx, lo=0, n_local=None,
+                tp_axis=None):
     """Grouped expert matmul: sort token-assignments by expert, ragged_dot
-    through w1/w3/w2, unsort, weighted-combine."""
+    through w1/w3/w2, unsort, weighted-combine.
+
+    Under EP (tp_axis set) the expert stacks are this shard's E/tp slice:
+    the globally-sorted assignment rows for the local expert range form one
+    contiguous segment starting at the cumulative size of the lower
+    shards' groups — roll it to row 0, run ragged_dot with the LOCAL group
+    sizes, roll back, mask foreign rows, psum."""
     B, T, D = x.shape
     E, K = cfg.n_experts, cfg.n_experts_per_token
     N = B * T
@@ -612,17 +656,38 @@ def _moe_ragged(x, params, cfg, topk_w, topk_idx):
     xs = jnp.repeat(xf, K, axis=0)[order]
     group_sizes = jnp.bincount(flat_expert, length=E)
 
+    ep = tp_axis is not None
+    if ep:
+        gs = jax.lax.dynamic_slice(group_sizes, (lo,), (n_local,))
+        off = jnp.sum(
+            jnp.where(jnp.arange(E) < lo, group_sizes, 0)
+        ).astype(jnp.int32)
+        xs = jnp.roll(xs, -off, axis=0)
+    else:
+        gs = group_sizes
+
     w1t, w2t, w3t = params["experts.w1_t"], params["experts.w2_t"], params["experts.w3_t"]
     gate = activation(
-        jax.lax.ragged_dot(xs, w1t.astype(xs.dtype), group_sizes,
+        jax.lax.ragged_dot(xs, w1t.astype(xs.dtype), gs,
                            preferred_element_type=jnp.float32).astype(xs.dtype),
         cfg.activation,
     )
-    up = jax.lax.ragged_dot(xs, w3t.astype(xs.dtype), group_sizes,
+    up = jax.lax.ragged_dot(xs, w3t.astype(xs.dtype), gs,
                             preferred_element_type=jnp.float32).astype(xs.dtype)
-    y = jax.lax.ragged_dot(gate * up, w2t.astype(xs.dtype), group_sizes,
+    y = jax.lax.ragged_dot(gate * up, w2t.astype(xs.dtype), gs,
                            preferred_element_type=jnp.float32)  # [N*K, D] f32
+
+    if ep:
+        n_loc = jnp.sum(gs)
+        y = jnp.roll(y, off, axis=0)
+        ridx = jnp.arange(y.shape[0])
+        y = jnp.where(
+            ((ridx >= off) & (ridx < off + n_loc))[:, None], y, 0.0
+        )
 
     inv = jnp.argsort(order)
     y = y[inv] * topk_w.reshape(N * K, 1)
-    return y.reshape(N, K, D).sum(axis=1).reshape(B, T, D).astype(x.dtype)
+    out = y.reshape(N, K, D).sum(axis=1).reshape(B, T, D)
+    if ep:
+        out = jax.lax.psum(out, tp_axis)
+    return out.astype(x.dtype)

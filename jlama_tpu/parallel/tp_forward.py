@@ -135,8 +135,8 @@ def can_shard_map(
         return False  # pipeline stages use the pp pipeline / GSPMD path
     if tp == 1 and dp == 1:
         return False
-    if cfg.n_experts:
-        return False  # MoE routes over the global expert set: GSPMD path
+    if cfg.n_experts and cfg.n_experts % tp:
+        return False  # EP shards the expert axis; must divide
     if cfg.n_heads % tp or cfg.n_kv_heads % tp:
         return False
     if cfg.hidden_length % tp:

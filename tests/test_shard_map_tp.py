@@ -327,3 +327,69 @@ def test_interleaved_fuse_matches_plain_globally(tiny):
         np.sort(np.asarray(plain).reshape(-1, plain.shape[-1]), axis=0),
         np.sort(np.asarray(inter).reshape(-1, inter.shape[-1]), axis=0),
     )
+
+
+def _tiny_mixtral():
+    from jlama_tpu.config import from_hf_config
+    from jlama_tpu.models.init import init_params
+
+    cfg = from_hf_config(
+        {
+            "model_type": "mixtral", "hidden_size": 64,
+            "intermediate_size": 128, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "num_hidden_layers": 2,
+            "rms_norm_eps": 1e-5, "vocab_size": 256,
+            "max_position_embeddings": 128, "rope_theta": 10000.0,
+            "bos_token_id": 1, "eos_token_id": 2, "hidden_act": "silu",
+            "num_local_experts": 4, "num_experts_per_tok": 2,
+        }
+    )
+    return init_params(cfg, dtype=jnp.float32), cfg
+
+
+def test_moe_expert_parallel_shard_map(tiny):
+    """MoE under shard_map: experts shard over tp (EP), routing stays
+    global, local contributions psum — dedicated EP the reference lacks
+    (SURVEY §2.6 'EP — NO'). Token parity with the unsharded scheduler
+    through prefill (ragged) and decode."""
+    params, cfg = _tiny_mixtral()
+    from jlama_tpu.parallel.mesh import make_mesh
+    from jlama_tpu.parallel import tp_forward
+
+    ref = _mk_sched(params, cfg).generate(
+        [1, 5, 9, 42, 7], max_new_tokens=6, temperature=0.0
+    )
+    mesh = make_mesh(jax.devices()[:2], dp=1, pp=1, tp=2)
+    sched = _mk_sched(params, cfg, mesh=mesh)
+    assert sched._sm is not None, "EP shard_map should engage for MoE"
+    got = sched.generate([1, 5, 9, 42, 7], max_new_tokens=6, temperature=0.0)
+    assert got.token_ids == ref.token_ids
+    # each device held half the expert stacks
+    shapes = tp_forward.TRACE_SHAPES
+    key = next(k for k in shapes if k.startswith("experts.w1"))
+    assert shapes[key][1] == cfg.n_experts // 2, shapes[key]
+
+
+def test_moe_ep_quantized_gathered(tiny, monkeypatch):
+    """Quantized MoE experts under EP: the decode-sized gathered path
+    computes only selections routed to the local expert range and psums."""
+    monkeypatch.setenv("JLAMA_PALLAS_INTERPRET", "1")
+    params, cfg = _tiny_mixtral()
+    from jlama_tpu.nn.qarray import quantize_q4
+    from jlama_tpu.parallel.mesh import make_mesh
+
+    layers = dict(params["layers"])
+    for k in ("experts.w1", "experts.w2", "experts.w3",
+              "wq", "wk", "wv", "wo"):
+        layers[k] = quantize_q4(np.asarray(layers[k], dtype=np.float32))
+    qparams = dict(params)
+    qparams["layers"] = layers
+
+    ref = _mk_sched(qparams, cfg, moe_ragged=False).generate(
+        [1, 5, 9], max_new_tokens=5, temperature=0.0
+    )
+    mesh = make_mesh(jax.devices()[:2], dp=1, pp=1, tp=2)
+    sched = _mk_sched(qparams, cfg, mesh=mesh, moe_ragged=False)
+    assert sched._sm is not None
+    got = sched.generate([1, 5, 9], max_new_tokens=5, temperature=0.0)
+    assert got.token_ids == ref.token_ids
