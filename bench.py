@@ -236,13 +236,18 @@ def main():
     # the scheduler under concurrency; single-stream above is the raw loop)
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(here, "BENCH_SERVING_CURVE_r05.json")) as f:
+        curve_file = (
+            "BENCH_SERVING_CURVE_1B_r05.json"
+            if MODEL == "1b"
+            else "BENCH_SERVING_CURVE_r05.json"
+        )
+        with open(os.path.join(here, curve_file)) as f:
             curve = json.load(f)
         out["serving_curve_levels"] = curve["levels"]
         out["serving_curve_tokens_per_s"] = curve["decode_tokens_per_s"]
         out["serving_knee_tokens_per_s"] = curve["knee_tokens_per_s"]
         out["serving_ttft_ms_p50"] = curve["ttft_ms_p50"]
-        out["serving_artifact"] = "BENCH_SERVING_CURVE_r04.json"
+        out["serving_artifact"] = curve_file
     except Exception:  # noqa: BLE001
         try:
             with open(os.path.join(here, "BENCH_SERVING_r03.json")) as f:
