@@ -358,7 +358,7 @@ def cmd_download(args) -> None:
     def progress(name, done, total):
         # files download in parallel threads: only completion lines print
         # (interleaved \r-rewrites from 4 threads would garble one line)
-        if done >= total:
+        if total > 0 and done >= total:
             print(f"{name}: done ({total // (1 << 20)} MiB)", flush=True)
 
     out = download_model(

@@ -39,7 +39,11 @@ def kv_write_dense1(
 ) -> jnp.ndarray:
     """Write one token's K or V rows into the dense cache in place (B==1)."""
     _, n_kv, S, hd = pool.shape
-    bs = 8  # minimal sublane-aligned row block
+    bs = 8  # minimal sublane-aligned row block (f32; bf16 pools would need
+    # >=16 rows on real hardware — this is a measured-slower PROBE, see
+    # module docstring, not a production path)
+    if S % bs or pool.shape[0] != 1:
+        raise ValueError(f"kv_write_dense1 needs B==1 and S%{bs}==0")
     pool3 = pool.reshape(n_kv, S, hd)
     new3 = new.astype(pool.dtype).reshape(n_kv, 1, hd)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)

@@ -193,9 +193,7 @@ class Engine:
             )
             return hidden
 
-        from functools import partial as _partial
-
-        @_partial(jax.jit, static_argnums=(5,))
+        @partial(jax.jit, static_argnums=(5,))
         def _pooled_nocache(params, tokens, positions, token_types, lens,
                             pooling):
             """Batched embed forward + ON-DEVICE pooling: the host fetches

@@ -232,6 +232,10 @@ class PipelinedScheduler(BatchScheduler):
     # -- the pipelined decode window -----------------------------------
 
     def step(self) -> int:
+        with self._lock:  # serialize with public session ops (base class)
+            return self._step_locked()
+
+    def _step_locked(self) -> int:
         self._flush_releases()
         self._admit()
         self._advance_prefill()

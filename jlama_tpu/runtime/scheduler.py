@@ -166,7 +166,9 @@ class BatchScheduler:
             # the per-shard layout must be chunk-repacked from canonical q4
             # by this constructor (weight_format="q4k"); a tp block slice of
             # the global permutation would contract mismatched features
-            pre_permuted = any(leaf.fmt == "q4k" for leaf in qleaves)
+            pre_permuted = any(
+                leaf.fmt in ("q4k", "q4s") for leaf in qleaves
+            )
             if (
                 not pre_permuted
                 and _os_sm.environ.get("JLAMA_SHARD_MAP", "1") != "0"
@@ -315,7 +317,7 @@ class BatchScheduler:
         # per-slot generated-token counts for presence/frequency penalties;
         # lives on device, scatter-updated inside the decode step
         self.counts = self._dev(np.zeros((n_slots, cfg.vocab_size), np.int32))
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
         self._running = False
         self._thread: threading.Thread | None = None
         # async decode pipeline depth: when the batch is in steady state
@@ -1132,12 +1134,18 @@ class BatchScheduler:
             self.kv.alloc.release(self._release_q.pop())
 
     def drop_session(self, session_id: str) -> None:
-        self.session_state.pop(session_id, None)
-        self.kv.alloc.release(session_id)
-        if self._suspended.pop(session_id, None) is not None:
-            if self._chan is not None and self._is_leader:
-                # free the followers' mirrored payload too
-                self._chan.publish({"op": "sdrop", "sid": session_id})
+        with self._lock:
+            if any(
+                r is not None and r.session_id == session_id
+                for r in self.slots
+            ):
+                return  # active in the batch: caller retries after finish
+            self.session_state.pop(session_id, None)
+            self.kv.alloc.release(session_id)
+            if self._suspended.pop(session_id, None) is not None:
+                if self._chan is not None and self._is_leader:
+                    # free the followers' mirrored payload too
+                    self._chan.publish({"op": "sdrop", "sid": session_id})
 
     # ------------------------------------------------------------------
     # session offload — the TPU equivalent of the reference's disk-backed
@@ -1147,7 +1155,20 @@ class BatchScheduler:
     # ------------------------------------------------------------------
 
     def suspend_session(self, session_id: str, to_dir: str | None = None) -> bool:
+        with self._lock:
+            return self._suspend_session_locked(session_id, to_dir)
+
+    def _suspend_session_locked(
+        self, session_id: str, to_dir: str | None = None
+    ) -> bool:
         if session_id not in self.session_state:
+            return False
+        if any(
+            r is not None and r.session_id == session_id for r in self.slots
+        ):
+            # an ACTIVE session's pages are being written by in-flight
+            # device steps; suspending them out from under the batch would
+            # free pages another request could reuse mid-write
             return False
         pages = self.kv.alloc.pages_for(session_id)
         if not pages:
@@ -1267,6 +1288,10 @@ class BatchScheduler:
             return z[z.files[0]].shape[page_ax]
 
     def resume_session(self, session_id: str) -> bool:
+        with self._lock:
+            return self._resume_session_locked(session_id)
+
+    def _resume_session_locked(self, session_id: str) -> bool:
         if session_id not in self._suspended:
             return False
         payload, state, group = self._suspended[session_id]
@@ -1467,7 +1492,14 @@ class BatchScheduler:
 
         Decode windows are double-buffered: when the batch is steady, the
         next window is dispatched (device-chained) BEFORE the previous
-        window's tokens are fetched, hiding the per-window host drain."""
+        window's tokens are fetched, hiding the per-window host drain.
+
+        Serialized with the public session ops (suspend/resume/drop may be
+        called from request threads) via the scheduler RLock."""
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> int:
         und = self._undrained
         if und is not None:
             self._undrained = None
