@@ -161,9 +161,11 @@ def main():
     # "chain": per-step async dispatches with one final sync (the
     #   scheduler's pattern; measured faster at 8B, where XLA's
     #   copy-insertion around the while-carry KV costs ~1 ms/step).
-    MODE = os.environ.get("JLAMA_BENCH_MODE") or (
-        "chain" if MODEL == "8b" else "loop"
-    )
+    # chain (per-step async dispatch, donated cache) beats the on-device
+    # while-loop at BOTH sizes after the r5 copy-insertion fixes: the loop
+    # still pays carry copies the donated per-call state avoids
+    # (1B measured 491.8 chain vs 476.7 loop, best-of on a quiet chip)
+    MODE = os.environ.get("JLAMA_BENCH_MODE") or "chain"
     # sized so every timed window's decode positions stay inside the
     # allocated window: warmup + 2 passes x REPS(=3) windows (ADVICE r4)
     win = min(PROMPT_TOKENS + 7 * DECODE_TOKENS, max_len)
